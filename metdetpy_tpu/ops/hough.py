@@ -1,0 +1,232 @@
+"""Deterministic, batched Hough line-segment extraction on TPU.
+
+TPU-native replacement for cv2.HoughLinesP (reference
+MetLib/Detector.py:282-287, :347-352). OpenCV's probabilistic Hough is
+inherently sequential (random point order, in-loop accumulator erasure), so
+exact output parity is impossible; this kernel targets detection-level
+parity (same segments up to NMS/collector merging -- see SURVEY.md §7
+"Hard parts") with a fully deterministic, data-parallel algorithm:
+
+1. **Vote** -- active pixels are compacted to a fixed-capacity point list;
+   per (point, theta) the rho bin is computed and votes are accumulated with
+   an MXU-friendly trick: the rho index is split into hi = rho // 128 and
+   lo = rho % 128, and ``votes[theta, hi, lo] = onehot_hi^T @ onehot_lo``
+   becomes a batched matmul over theta -- turning a scatter-add histogram
+   (slow on TPU) into systolic-array work.
+2. **Peak find** -- 3x3 local maxima over the (theta, rho) accumulator above
+   the vote threshold; top-K peaks kept.
+3. **Segment walk** -- for each peak line, the binary image is sampled at
+   unit L-inf steps along the line (matching OpenCV's Bresenham-style walk)
+   and the longest run whose internal gaps are <= max_gap is extracted with
+   vectorized prefix scans (no sequential walk).
+
+The reference drops frames with >500 raw lines (NUM_LINES_TOOMUCH,
+MetLib/Detector.py:30, :358-360); the analog here is the ``overflow`` flag
+raised when the active-pixel count exceeds the point capacity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+LANE = 128  # TPU lane width; rho-index split base for the vote matmul
+
+
+class HoughResult(NamedTuple):
+    lines: jax.Array     # [T, K, 4] int32 (x1, y1, x2, y2)
+    valid: jax.Array     # [T, K] bool
+    npix: jax.Array      # [T] int32 active-pixel count per frame
+    overflow: jax.Array  # [T] bool: active pixels exceeded capacity
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _vote(xs: jax.Array, ys: jax.Array, valid: jax.Array, n_theta: int,
+          n_rho: int, rho_offset: int, theta_chunk: int) -> jax.Array:
+    """Hough vote accumulation via hi/lo one-hot matmuls.
+
+    xs, ys: [N] float32 point coordinates; valid: [N] bool.
+    Returns votes [n_theta, n_rho] float32 (exact small-integer counts).
+    """
+    n_hi = n_rho // LANE
+    thetas = jnp.arange(n_theta, dtype=jnp.float32) * jnp.float32(np.pi / 180)
+    cos_t, sin_t = jnp.cos(thetas), jnp.sin(thetas)
+    validf = valid.astype(jnp.bfloat16)
+
+    def chunk_votes(c0: jax.Array) -> jax.Array:
+        cos_c = lax.dynamic_slice_in_dim(cos_t, c0, theta_chunk)
+        sin_c = lax.dynamic_slice_in_dim(sin_t, c0, theta_chunk)
+        rho = (xs[:, None] * cos_c[None, :] + ys[:, None] * sin_c[None, :]
+               + jnp.float32(rho_offset))
+        q = jnp.clip(jnp.round(rho).astype(jnp.int32), 0, n_rho - 1)
+        hi, lo = q // LANE, q % LANE
+        oh_hi = (hi[:, :, None] == jnp.arange(n_hi)[None, None, :])
+        oh_hi = oh_hi.astype(jnp.bfloat16) * validf[:, None, None]
+        oh_lo = (lo[:, :, None] == jnp.arange(LANE)[None, None, :])
+        oh_lo = oh_lo.astype(jnp.bfloat16)
+        # [C, n_hi, N] @ [C, N, LANE] -> [C, n_hi, LANE]; 0/1 products are
+        # exact in bf16 and the f32 accumulation keeps exact integer counts.
+        return lax.dot_general(
+            oh_hi.transpose(1, 2, 0), oh_lo.transpose(1, 0, 2),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+
+    n_chunks = n_theta // theta_chunk
+    chunks = lax.map(lambda i: chunk_votes(i * theta_chunk),
+                     jnp.arange(n_chunks))
+    return chunks.reshape(n_theta, n_hi * LANE)
+
+
+def _find_peaks(votes: jax.Array, threshold: int,
+                max_peaks: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """3x3 local maxima above threshold; returns (theta_idx, rho_idx, ok)."""
+    pooled = lax.reduce_window(votes, -jnp.inf, lax.max, (3, 3), (1, 1),
+                               [(1, 1), (1, 1)])
+    is_peak = (votes >= pooled) & (votes > threshold)
+    scores = jnp.where(is_peak, votes, -1.0).reshape(-1)
+    top, idx = lax.top_k(scores, max_peaks)
+    n_rho = votes.shape[1]
+    return idx // n_rho, idx % n_rho, top > 0
+
+
+def _extract_segments(dst01: jax.Array, theta_idx: jax.Array,
+                      rho_idx: jax.Array, peak_ok: jax.Array,
+                      rho_offset: int, min_len: int, max_gap: jax.Array,
+                      n_steps: int) -> tuple[jax.Array, jax.Array]:
+    """Walk each peak line and extract the longest gap-tolerant run.
+
+    All K peaks are processed at once; the "walk" is a gather of [K, L]
+    samples followed by prefix-scan run analysis.
+    """
+    h, w = dst01.shape
+    theta = theta_idx.astype(jnp.float32) * jnp.float32(np.pi / 180)
+    c, s = jnp.cos(theta), jnp.sin(theta)           # [K]
+    rho = rho_idx.astype(jnp.float32) - rho_offset  # [K]
+    # unit L-inf step along the line direction v = (-sin, cos)
+    vx, vy = -s, c
+    m = jnp.maximum(jnp.abs(vx), jnp.abs(vy))
+    vx, vy = vx / m, vy / m                          # max(|vx|,|vy|) == 1
+    # center the walk on the line point closest to the image center
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    fx, fy = c * rho, s * rho                        # foot of perpendicular
+    proj = (cx - fx) * (-s) + (cy - fy) * c
+    px, py = fx + proj * (-s), fy + proj * c
+
+    t = jnp.arange(n_steps, dtype=jnp.float32) - n_steps / 2.0   # [L]
+    x = px[:, None] + t[None, :] * vx[:, None]
+    y = py[:, None] + t[None, :] * vy[:, None]
+    # Sample all four bilinear neighbors and treat the step as active if any
+    # touching pixel is active. A single-round sample drifts off the raster
+    # for near-diagonal lines (the quantized peak line is a parallel copy up
+    # to ~0.7 px away), which would shatter long diagonals into fragments.
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx_, fy_ = x - x0, y - y0
+    flat_img = dst01.reshape(-1)
+    p = jnp.zeros(x.shape, dtype=jnp.int32)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            wgt = (fx_ if dx else 1 - fx_) * (fy_ if dy else 1 - fy_)
+            xi = x0.astype(jnp.int32) + dx
+            yi = y0.astype(jnp.int32) + dy
+            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            pix = jnp.take(flat_img, flat.reshape(-1)).reshape(flat.shape)
+            p = p | (pix.astype(jnp.int32) * (inb & (wgt > 0.05)))
+    p = p * peak_ok[:, None].astype(jnp.int32)
+
+    steps = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
+    neg = jnp.int32(-(10 ** 6))
+    # index of the most recent active sample at or before i
+    prev_inc = lax.associative_scan(jnp.maximum,
+                                    jnp.where(p == 1, steps, neg), axis=1)
+    prev_exc = jnp.concatenate(
+        [jnp.full((p.shape[0], 1), neg), prev_inc[:, :-1]], axis=1)
+    # a new run starts at an active sample whose gap to the previous active
+    # sample exceeds max_gap (OpenCV: consecutive misses > maxLineGap)
+    gap = (steps - prev_exc - 1).astype(jnp.float32)
+    new_run = (p == 1) & (gap > max_gap)
+    run_start = lax.associative_scan(jnp.maximum,
+                                     jnp.where(new_run, steps, neg), axis=1)
+    length = jnp.where(p == 1, steps - run_start, -1)   # L-inf length
+    best = jnp.argmax(length, axis=1)                    # [K] end index
+    best_len = jnp.take_along_axis(length, best[:, None], axis=1)[:, 0]
+    start = jnp.take_along_axis(run_start, best[:, None], axis=1)[:, 0]
+
+    def endpoint(idx: jax.Array) -> tuple[jax.Array, jax.Array]:
+        tt = idx.astype(jnp.float32) - n_steps / 2.0
+        ex = jnp.round(px + tt * vx).astype(jnp.int32)
+        ey = jnp.round(py + tt * vy).astype(jnp.int32)
+        return jnp.clip(ex, 0, w - 1), jnp.clip(ey, 0, h - 1)
+
+    x1, y1 = endpoint(start)
+    x2, y2 = endpoint(best)
+    lines = jnp.stack([x1, y1, x2, y2], axis=1)
+    ok = peak_ok & (best_len >= min_len)
+    return lines, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("threshold", "min_len", "max_points", "max_peaks",
+                     "theta_chunk"))
+def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
+                      min_len: int, max_points: int = 8192,
+                      max_peaks: int = 64,
+                      theta_chunk: int = 30) -> HoughResult:
+    """Batched probabilistic-Hough-equivalent line extraction.
+
+    Args:
+      dst: [T, H, W] uint8 binary images (0 / 255).
+      max_gap: [T] float32 per-frame maximum bridged gap (the reference uses
+        an adaptive gap, MetLib/Detector.py:342-344).
+      threshold: accumulator vote threshold (votes must be > threshold).
+      min_len: minimum L-inf segment length (OpenCV semantics).
+      max_points: fixed active-pixel capacity per frame.
+      max_peaks: max peak lines (and hence segments) per frame.
+
+    Returns:
+      HoughResult with [T, max_peaks, 4] segments.
+    """
+    t_block, h, w = dst.shape
+    n_theta = 180
+    n_rho = _round_up(2 * (w + h) + 1, LANE)
+    rho_offset = w + h  # OpenCV numrho centering (hough.cpp semantics)
+    n_steps = _round_up(max(h, w) + 4, LANE)
+
+    dst01 = (dst > 0).astype(jnp.uint8)
+
+    def per_frame(args):
+        img01, gap = args
+        flat = img01.reshape(-1)
+        npix = jnp.sum(flat, dtype=jnp.int32)
+        (idx,) = jnp.nonzero(flat, size=max_points, fill_value=-1)
+        valid = idx >= 0
+        ys = (idx // w).astype(jnp.float32)
+        xs = (idx % w).astype(jnp.float32)
+        votes = _vote(xs, ys, valid, n_theta, n_rho, rho_offset, theta_chunk)
+        th_i, rh_i, ok = _find_peaks(votes, threshold, max_peaks)
+        overflow = npix > max_points
+        ok = ok & jnp.logical_not(overflow)
+        lines, line_ok = _extract_segments(img01, th_i, rh_i, ok, rho_offset,
+                                           min_len, gap, n_steps)
+        return lines, line_ok, npix, overflow
+
+    lines, valid, npix, overflow = lax.map(per_frame, (dst01, max_gap))
+    return HoughResult(lines, valid, npix, overflow)
+
+
+def hough_lines_single(dst: jax.Array, max_gap: float, *, threshold: int,
+                       min_len: int, **kw) -> HoughResult:
+    """Single-image convenience wrapper."""
+    res = hough_lines_batch(dst[None], jnp.asarray([max_gap], jnp.float32),
+                            threshold=threshold, min_len=min_len, **kw)
+    return res

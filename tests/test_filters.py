@@ -1,0 +1,55 @@
+"""Golden tests: device filters vs OpenCV kernels on random images."""
+
+import cv2
+import numpy as np
+
+from metdetpy_tpu.ops import filters
+
+
+def test_median3x3_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(4, 37, 53), dtype=np.uint8)
+    ours = np.asarray(filters.median3x3(img))
+    for t in range(img.shape[0]):
+        ref = cv2.medianBlur(img[t], 3)
+        np.testing.assert_array_equal(ours[t], ref)
+
+
+def test_binary_threshold_matches_cv2(rng):
+    img = rng.integers(0, 256, size=(29, 31), dtype=np.uint8)
+    for thr in (0, 5, 127, 254):
+        ours = np.asarray(filters.binary_threshold(img, np.uint8(thr)))
+        _, ref = cv2.threshold(img, thr, 255, cv2.THRESH_BINARY)
+        np.testing.assert_array_equal(ours, ref)
+
+
+def test_per_frame_threshold_broadcast(rng):
+    img = rng.integers(0, 256, size=(3, 16, 16), dtype=np.uint8)
+    thr = np.array([10, 100, 200], dtype=np.uint8)[:, None, None]
+    ours = np.asarray(filters.binary_threshold(img, thr))
+    for t in range(3):
+        _, ref = cv2.threshold(img[t], int(thr[t, 0, 0]), 255,
+                               cv2.THRESH_BINARY)
+        np.testing.assert_array_equal(ours[t], ref)
+
+
+def test_morphology_matches_cv2(rng):
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3))
+    img = (rng.integers(0, 2, size=(33, 47), dtype=np.uint8)) * 255
+    np.testing.assert_array_equal(
+        np.asarray(filters.dilate3x3(img)), cv2.dilate(img, kernel))
+    np.testing.assert_array_equal(
+        np.asarray(filters.erode3x3(img)), cv2.erode(img, kernel))
+    np.testing.assert_array_equal(
+        np.asarray(filters.close3x3(img)),
+        cv2.morphologyEx(img, cv2.MORPH_CLOSE, kernel))
+    np.testing.assert_array_equal(
+        np.asarray(filters.open3x3(img)),
+        cv2.morphologyEx(img, cv2.MORPH_OPEN, kernel))
+
+
+def test_morphology_grayscale_matches_cv2(rng):
+    kernel = cv2.getStructuringElement(cv2.MORPH_RECT, (3, 3))
+    img = rng.integers(0, 256, size=(25, 25), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(filters.close3x3(img)),
+        cv2.morphologyEx(img, cv2.MORPH_CLOSE, kernel))
