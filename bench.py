@@ -1,0 +1,85 @@
+"""MetDetPy-TPU benchmark: 1080p detection frames/sec/chip.
+
+Protocol (mirrors BASELINE.json's metric): a synthetic 1920x1080 meteor
+clip is pushed through the full default classic pipeline (m3det_normal
+semantics: host resize to 960-long-side grayscale, sliding-window M3
+detection, adaptive threshold, dynamic mask, Hough, collector, MDRF) and
+the steady-state end-to-end frames/sec is reported.
+
+Baseline: the reference reports video-detection wall time of 20-30% of clip
+duration for 3840x2160@10fps on an Intel i5-7500 (readme.md:121), i.e. about
+33-50 effective fps at the same 960-long-side analysis resolution;
+``vs_baseline`` divides by the 42 fps midpoint.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcache")
+
+import numpy as np
+
+REFERENCE_FPS = 42.0  # midpoint of the reference's 33-50 effective fps
+
+
+def build_cfg():
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.exp_time = "real-time"   # deterministic; no estimator prepass
+    cfg.collector.recheck_cfg.switch = False
+    return cfg
+
+
+def run(frames, cfg, work_mode="backend"):
+    from metdetpy_tpu.api import detect_video
+    t0 = time.time()
+    mdrf = detect_video(frames, None, cfg, work_mode=work_mode)
+    return time.time() - t0, mdrf
+
+
+def main():
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+
+    fps = 25.0
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
+    w, h = 1920, 1080
+    meteor = SynthMeteor(start_sec=2.4, end_sec=4.4,
+                         pt1=(int(w * 0.45), int(h * 0.25)),
+                         pt2=(int(w * 0.30), int(h * 0.55)))
+    frames = generate_meteor_video(width=w, height=h, fps=fps,
+                                   duration_sec=n_seconds, meteors=[meteor],
+                                   n_stars=150, noise_sigma=4.0)
+
+    cfg = build_cfg()
+    # warmup pass compiles all block-shape buckets (first TPU compile is
+    # slow; steady-state is what the metric measures)
+    warm = frames[: int(fps * 6)]
+    run(warm, cfg)
+
+    elapsed, mdrf = run(frames, cfg)
+    n_frames = frames.shape[0]
+    value = n_frames / elapsed
+
+    n_meteors = sum(1 for rec in mdrf.results for t in rec.target
+                    if t.category == "METEOR")
+    sys.stderr.write(f"[bench] {n_frames} frames in {elapsed:.2f}s; "
+                     f"METEOR records: {n_meteors}\n")
+    print(json.dumps({
+        "metric": "1080p_detect_fps_per_chip",
+        "value": round(value, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(value / REFERENCE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""The main detection API: ``detect_video``.
+
+Orchestration parity with reference MetDetPy.py:24-250 (loader -> detector
+-> collector loop, work modes, live mode, time windows, MDRF result), with
+the TPU-native execution model: when the loader is a BlockVideoLoader and
+the detector supports block processing, whole ``[T, H, W]`` frame blocks are
+pushed through the fused device pipeline per step instead of single frames.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+from . import get_detector, get_loader, get_wrapper
+from .detectors.base import BaseDetector
+from .detectors.m3det import DiffAreaGuidingDetecor, LineDetector, M3Detector
+from .io.videoloader import BlockVideoLoader
+from .log import get_default_logger, set_default_logger
+from .structs import (MDRF, ClipCfg, MainDetectCfg, ModelCfg, RuntimeParams)
+from .utils import (LIVE_MODE_SPEED_CTRL_CONST, VERSION, frame2time, frame2ts,
+                    get_clip_config_path, get_num_class)
+from .visu import OpenCVMetVisu, TextColorPair, TextVisu
+
+
+def detect_video(video_name: str, mask_name: Optional[str],
+                 cfg: MainDetectCfg, debug_mode: bool = False,
+                 visual_mode: bool = False, work_mode: str = "frontend",
+                 time_range: tuple[Optional[str], Optional[str]] = (None,
+                                                                    None),
+                 live_mode: bool = False,
+                 provider_key: Optional[str] = None) -> MDRF:
+    """Detect meteors (and other events) in a video; returns an MDRF."""
+    set_default_logger(debug_mode, work_mode)
+    logger = get_default_logger()
+    logger.start()
+
+    try:
+        t0 = time.time()
+        LoaderCls = get_loader(cfg.loader.name)
+        WrapperCls = get_wrapper(cfg.loader.wrapper)
+        DetectorCls = get_detector(cfg.detector.name)
+        grayscale = cfg.loader.grayscale
+        start_time, end_time = time_range
+
+        if issubclass(DetectorCls, (LineDetector, DiffAreaGuidingDetecor)):
+            assert grayscale, ("Require grayscale ON when using a "
+                               "LineDetector subclass.")
+        else:
+            assert not grayscale, ("Require grayscale OFF when using "
+                                   "MLDetector.")
+
+        global_config = ClipCfg.from_json_file(get_clip_config_path())
+        recheck_on = cfg.collector.recheck_cfg.switch
+
+        loader_kwargs = dict(
+            mask_name=mask_name, resize_option=cfg.loader.resize,
+            hwaccel=cfg.loader.hwaccel, start_time=start_time,
+            end_time=end_time, grayscale=grayscale,
+            exp_option=cfg.loader.exp_time,
+            exp_upper_bound=cfg.loader.upper_bound,
+            merge_func=cfg.loader.merge_func,
+            continue_on_err=cfg.loader.continue_on_err)
+        if issubclass(LoaderCls, BlockVideoLoader):
+            loader_kwargs["keep_color_stacks"] = recheck_on
+        video_loader = LoaderCls(WrapperCls, video_name, **loader_kwargs)
+        video_info = video_loader.summary()
+        logger.info(repr(video_loader))
+
+        start_frame = video_loader.start_frame
+        end_frame = video_loader.end_frame
+        rt_param = RuntimeParams(
+            fps=video_loader.fps, exp_frame=video_loader.exp_frame,
+            eq_fps=video_loader.eq_fps, eq_int_fps=video_loader.eq_int_fps,
+            exp_time=video_loader.exp_time,
+            runtime_size=video_loader.runtime_size,
+            raw_size=video_loader.raw_size,
+            positive_category_list=(
+                global_config.export.positive_category_list))
+        logger.info(f"Preprocessing finished. Time cost: "
+                    f"{time.time() - t0:.1f}s.")
+
+        if issubclass(DetectorCls, M3Detector) and (
+                cfg.detector.window_sec * rt_param.eq_fps < 3):
+            if video_loader.fps < 3:
+                raise ValueError(
+                    "M3Detector cannot work below 3 FPS; increase FPS or "
+                    "use the deep-learning detector (dldet.json).")
+            logger.info(f"Equivalent FPS {rt_param.eq_fps:.2f} may be too "
+                        f"slow for {DetectorCls.__name__}.")
+
+        detector: BaseDetector = DetectorCls(
+            window_sec=cfg.detector.window_sec, fps=rt_param.eq_fps,
+            mask=video_loader.mask, num_cls=get_num_class(),
+            cfg=cfg.detector.cfg, logger=logger)
+
+        # recheck stack source: BlockVideoLoader keeps in-memory color
+        # max-stacks (no second decode); other loaders re-read via a second
+        # color loader like the reference (MetDetPy.py:147-156)
+        stack_provider = None
+        recheck_loader = None
+        if recheck_on:
+            if isinstance(video_loader, BlockVideoLoader):
+                e = rt_param.exp_frame
+
+                def stack_provider(s_raw, e_raw, _vl=video_loader, _e=e,
+                                   _s0=start_frame):
+                    return _vl.recheck_stack((s_raw - _s0) // _e,
+                                             (e_raw - _s0) // _e)
+            else:
+                recheck_loader = LoaderCls(
+                    WrapperCls, video_name, mask_name=mask_name,
+                    resize_option=cfg.loader.resize,
+                    hwaccel=cfg.loader.hwaccel, grayscale=False,
+                    exp_option="real-time",
+                    merge_func=cfg.loader.merge_func, continue_on_err=True)
+
+        from .track.collector import MeteorCollector
+        if provider_key:
+            cfg.collector.recheck_cfg.model.providers_key = provider_key
+        collector = MeteorCollector(cfg.collector, rt_param,
+                                    video_loader=recheck_loader,
+                                    logger=logger,
+                                    stack_provider=stack_provider)
+
+        visual_manager = OpenCVMetVisu(exp_time=rt_param.exp_time,
+                                       resolution=video_loader.runtime_size,
+                                       flag=visual_mode)
+    except Exception as e:
+        logger.error(repr(e))
+        logger.error("Fatal error occured when initializing.")
+        logger.stop()
+        raise e
+
+    t1 = time.time()
+    try:
+        video_loader.start()
+        if isinstance(video_loader, BlockVideoLoader):
+            _run_block_loop(video_loader, detector, collector, rt_param,
+                            start_frame, work_mode, live_mode, visual_mode,
+                            visual_manager, logger, t0)
+        else:
+            _run_frame_loop(video_loader, detector, collector, rt_param,
+                            start_frame, end_frame, work_mode, live_mode,
+                            visual_mode, visual_manager, logger, t0)
+        if not visual_manager.manual_stop:
+            logger.info("VideoLoader-stop detected.")
+    except Exception as e:
+        logger.error(repr(e))
+        raise e
+    finally:
+        video_loader.release()
+        collector.clear()
+        visual_manager.stop()
+        logger.info("Time cost: %.4fs." % (time.time() - t1))
+        logger.stop()
+
+    return MDRF(version=VERSION, basic_info=video_info, config=cfg,
+                type="prediction", anno_size=video_info.resolution,
+                results=collector.met_exporter.meteor_list)
+
+
+def _split_into_buckets(block):
+    """Split a block into power-of-two-sized chunks (64, 32, ..., 1) so XLA
+    compiles at most log2(block_frames) distinct block shapes per run."""
+    chunks = []
+    pos = 0
+    remaining = block.shape[0]
+    size = 64
+    while remaining > 0:
+        while size > remaining:
+            size //= 2
+        chunks.append(block[pos:pos + size])
+        pos += size
+        remaining -= size
+    return chunks
+
+
+def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
+                    work_mode, live_mode, visual_mode, visual_manager,
+                    logger, t0) -> None:
+    merged_idx = 0
+    e = rt_param.exp_frame
+    eq_int_fps = max(rt_param.eq_int_fps, 1)
+    while True:
+        raw_block = video_loader.pop_block()
+        if raw_block is None:
+            break
+        results = []
+        block_parts = _split_into_buckets(raw_block)
+        for part in block_parts:
+            results.extend(detector.process_block(part))
+        block = raw_block
+        for j, (lines, cates) in enumerate(results):
+            i = start_frame + merged_idx * e
+            if work_mode == "backend" and merged_idx % eq_int_fps == 0:
+                logger.processing(str(frame2time(i, rt_param.fps)))
+            if len(lines) or merged_idx % eq_int_fps == 0:
+                collector.update(i, lines=lines, cates=cates)
+            if visual_mode:
+                visu_info = [TextVisu(
+                    "timestamp",
+                    text_list=[TextColorPair(frame2ts(i, rt_param.fps))],
+                    position="left-bottom", color="white")]
+                visu_info.extend(detector.visu())
+                visu_info.extend(collector.visu(frame_num=i))
+                visual_manager.display_a_frame(block[j], visu_info)
+                if visual_manager.manual_stop:
+                    logger.info("Manual interrupt signal detected.")
+                    return
+            merged_idx += 1
+        if live_mode:
+            expect = (merged_idx * e / rt_param.fps
+                      ) * LIVE_MODE_SPEED_CTRL_CONST
+            elapsed = time.time() - t0
+            if elapsed < expect:
+                time.sleep(expect - elapsed)
+
+
+def _run_frame_loop(video_loader, detector, collector, rt_param, start_frame,
+                    end_frame, work_mode, live_mode, visual_mode,
+                    visual_manager, logger, t0) -> None:
+    eq_int_fps = max(rt_param.eq_int_fps, 1)
+    for prog_int, i in enumerate(
+            range(start_frame, end_frame, rt_param.exp_frame)):
+        if work_mode == "backend" and prog_int % eq_int_fps == 0:
+            logger.processing(str(frame2time(i, rt_param.fps)))
+        x = video_loader.pop()
+        if video_loader.stopped or x is None:
+            break
+        detector.update(x)
+        lines, cates = detector.detect()
+        if len(lines) or prog_int % eq_int_fps == 0:
+            collector.update(i, lines=lines, cates=cates)
+        if visual_mode:
+            visu_info = [TextVisu(
+                "timestamp",
+                text_list=[TextColorPair(frame2ts(i, rt_param.fps))],
+                position="left-bottom", color="white")]
+            visu_info.extend(detector.visu())
+            visu_info.extend(collector.visu(frame_num=i))
+            visual_manager.display_a_frame(x, visu_info)
+            if visual_manager.manual_stop:
+                logger.info("Manual interrupt signal detected.")
+                return
+        if live_mode:
+            expect = (prog_int * rt_param.exp_frame / rt_param.fps
+                      ) * LIVE_MODE_SPEED_CTRL_CONST
+            elapsed = time.time() - t0
+            if elapsed < expect:
+                time.sleep(expect - elapsed)

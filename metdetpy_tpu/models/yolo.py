@@ -1,0 +1,224 @@
+"""YOLOModel runtime: preprocessing, batched multiscale tiling, device NMS.
+
+API parity with reference YOLOModel (MetLib/model.py:169-400):
+``forward(img) -> (boxes [N,4] int, cls_scores [N,nc])`` with
+score = sqrt(cls * obj_conf) and the multiscale pyramid inference scheme
+(transpose-to-match-aspect + h_rep x w_rep tiling with 0.2 min overlap per
+level).
+
+TPU-native differences:
+  - all tiles of a pyramid level run as ONE batched forward (the reference
+    issues one onnxruntime call per tile under a global lock,
+    MetLib/model.py:341-383);
+  - NMS runs on device with correct xyxy IoU. (The reference passes xyxy
+    boxes to cv2.dnn.NMSBoxes, which expects xywh -- a latent bug that only
+    weakens its suppression; we do not replicate it.)
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..log import BaseMetLog, get_default_logger
+from ..ops.nms import nms_xyxy
+from ..utils import get_num_class
+from . import yolov5
+from .weights import convert_onnx, is_lfs_pointer, load_params
+
+PARTITION_MIN_OVERLAP = 0.2
+MULTISCALE_NMS_OVERLAP_THRE = 0.1
+DEFAULT_INPUT_HW = (640, 640)
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "apply"))
+def _forward_decode(variables, imgs, nc: int, apply):
+    """imgs: [B, H, W, 3] float32 in [0,1] -> decoded [B, N, 5+nc]."""
+    heads = apply(variables, imgs)
+    return yolov5.decode_predictions(heads, nc)
+
+
+class YOLOModel:
+    """YOLO detector with Flax/XLA backend."""
+
+    def __init__(self, weight_path: str, dtype: str = "bfloat16",
+                 nms: bool = False, warmup: bool = True,
+                 pos_thre: float = 0.25, nms_thre: float = 0.45,
+                 multiscale_pred: int = 1, multiscale_partition: int = 2,
+                 hw_tolerance: float = 0.2,
+                 logger: Optional[BaseMetLog] = None,
+                 input_hw: tuple[int, int] = DEFAULT_INPUT_HW) -> None:
+        self.logger = logger or get_default_logger()
+        self.nms = nms
+        self.pos_thre = pos_thre
+        self.nms_thre = nms_thre
+        self.multiscale_pred = multiscale_pred
+        self.multiscale_partition = multiscale_partition
+        self.hw_tolerance = hw_tolerance
+        self.h, self.w = input_hw
+        self.c = 3
+        self.nc = get_num_class() - 2  # without DROPPED/OTHERS
+        self.hw_ratio = self.h / self.w
+
+        self.model = yolov5.YOLOv5(nc=self.nc)
+        self.variables = self._load_weights(weight_path)
+        self._apply = self.model.apply
+        if warmup:
+            _ = self._batched_forward(
+                np.zeros((1, self.h, self.w, 3), np.float32))
+        self.logger.info(
+            f"Loaded YOLOv5s (Flax) on {jax.devices()[0].platform} from "
+            f"{weight_path!r}.")
+
+    # ------------------------------------------------------------------
+
+    def _load_weights(self, weight_path: str):
+        if weight_path and weight_path.endswith(".npz") and \
+                os.path.isfile(weight_path) and not is_lfs_pointer(
+                    weight_path):
+            return load_params(weight_path)
+        if weight_path and weight_path.endswith(".onnx") and \
+                os.path.isfile(weight_path) and not is_lfs_pointer(
+                    weight_path):
+            try:
+                self.logger.info("Converting ONNX weights to Flax...")
+                return convert_onnx(weight_path)
+            except ImportError as e:
+                self.logger.warning(f"{e}")
+        self.logger.warning(
+            f"Weight file {weight_path!r} missing/unreadable (the reference "
+            "repo ships it only as a Git-LFS pointer); using deterministic "
+            "random initialization. Detection quality will be meaningless "
+            "until real weights are provided (convert with "
+            "metdetpy_tpu.models.weights.convert_onnx).")
+        _, variables = yolov5.init_params(nc=self.nc,
+                                          input_hw=(self.h, self.w))
+        return variables
+
+    @property
+    def input_shape(self):
+        return [[1, self.c, self.h, self.w]]
+
+    @property
+    def device(self) -> str:
+        return jax.devices()[0].platform
+
+    # ------------------------------------------------------------------
+
+    def _batched_forward(self, imgs: np.ndarray) -> np.ndarray:
+        """imgs: [B, h, w, 3] float32 in [0,1]; resized on device to the
+        model resolution; returns [B, N, 5+nc] float32 numpy."""
+        x = jnp.asarray(imgs)
+        if x.shape[1] != self.h or x.shape[2] != self.w:
+            x = jax.image.resize(
+                x, (x.shape[0], self.h, self.w, 3), method="cubic")
+        out = _forward_decode(self.variables, x, self.nc, self._apply)
+        return np.asarray(out, dtype=np.float32)
+
+    def _postprocess_single(self, pred: np.ndarray, scale_wh: tuple[float,
+                                                                    float]):
+        """pred [N, 5+nc] xywh+obj+cls at model scale -> (boxes xyxy int,
+        cls scores) at input scale."""
+        boxes = pred[:, :4].copy()
+        boxes[:, 0] -= boxes[:, 2] / 2
+        boxes[:, 1] -= boxes[:, 3] / 2
+        boxes[:, 2] += boxes[:, 0]
+        boxes[:, 3] += boxes[:, 1]
+        conf = pred[:, 4]
+        if self.nms:
+            order, keep = nms_xyxy(jnp.asarray(boxes), jnp.asarray(conf),
+                                   self.pos_thre, self.nms_thre)
+            idx = np.asarray(order)[np.asarray(keep)]
+            boxes, pred = boxes[idx], pred[idx]
+        sw, sh = scale_wh
+        boxes[:, 0] *= sw
+        boxes[:, 2] *= sw
+        boxes[:, 1] *= sh
+        boxes[:, 3] *= sh
+        result_pos = boxes.astype(int)
+        # sqrt score correction (reference MetLib/model.py:293-294)
+        result_cls = np.sqrt(np.einsum("ab,a->ab", pred[:, 5:], pred[:, 4]))
+        return result_pos, result_cls
+
+    def _forward_tiles(self, x: np.ndarray, tiles: list[tuple[int, int, int,
+                                                              int]]):
+        """Run a batch of same-size crops through one forward; offset boxes
+        back to image coordinates."""
+        batch = np.stack([x[y0:y0 + hs, x0:x0 + ws]
+                          for (y0, x0, hs, ws) in tiles])
+        preds = self._batched_forward(batch)
+        all_pos, all_cls = [], []
+        hs, ws = tiles[0][2], tiles[0][3]
+        scale = (ws / self.w, hs / self.h)
+        for k, (y0, x0, _, _) in enumerate(tiles):
+            pos, cls = self._postprocess_single(preds[k], scale)
+            pos[:, [0, 2]] += x0
+            pos[:, [1, 3]] += y0
+            all_pos.append(pos)
+            all_cls.append(cls)
+        return all_pos, all_cls
+
+    def forward(self, x: np.ndarray):
+        """Multiscale inference on one [H, W, 3] uint8/uint16 image."""
+        assert isinstance(x, np.ndarray) and x.ndim == 3, \
+            "input must be a 3-dim array"
+        h, w, c = x.shape
+        assert c == self.c, "channel count must match"
+        maxv = 65535.0 if x.dtype == np.uint16 else 255.0
+        x = x.astype(np.float32) / maxv
+
+        if self.multiscale_pred == 0:
+            pred = self._batched_forward(x[None])[0]
+            return self._postprocess_single(pred, (w / self.w, h / self.h))
+
+        transpose_flag = False
+        input_hw_ratio = h / w
+        h_rep, w_rep = 1, 1
+        if abs(self.hw_ratio - input_hw_ratio) > self.hw_tolerance:
+            if ((input_hw_ratio - 1) * (self.hw_ratio - 1)) > 0 or abs(
+                    self.hw_ratio - 1 / input_hw_ratio) < self.hw_tolerance:
+                transpose_flag = True
+                x = np.transpose(x, (1, 0, 2))
+                input_hw_ratio = 1 / input_hw_ratio
+                h, w = w, h
+            if h > w:
+                h_rep = int(np.ceil(h * self.w / (self.h * w)))
+            else:
+                w_rep = int(np.ceil(w * self.h / (h * self.w)))
+
+        result_pos: list[np.ndarray] = []
+        result_cls: list[np.ndarray] = []
+        for scale in range(self.multiscale_pred):
+            if scale > 0:
+                h_rep *= self.multiscale_partition
+                w_rep *= self.multiscale_partition
+            tot_h = (h_rep - 1) * PARTITION_MIN_OVERLAP
+            tot_w = (w_rep - 1) * PARTITION_MIN_OVERLAP
+            h_size = int(h // (h_rep - tot_h))
+            w_size = int(w // (w_rep - tot_w))
+            h_stride = int(h // (h_rep + tot_h))
+            w_stride = int(w // (w_rep + tot_w))
+            tiles = [(i * h_stride, j * w_stride, h_size, w_size)
+                     for i in range(h_rep) for j in range(w_rep)]
+            pos_list, cls_list = self._forward_tiles(x, tiles)
+            result_pos.extend(pos_list)
+            result_cls.extend(cls_list)
+
+        pos = np.concatenate(result_pos, axis=0)
+        cls = np.concatenate(result_cls, axis=0)
+        if len(pos) > 0:
+            order, keep = nms_xyxy(jnp.asarray(pos, jnp.float32),
+                                   jnp.asarray(np.max(cls, axis=-1)),
+                                   self.pos_thre,
+                                   MULTISCALE_NMS_OVERLAP_THRE)
+            idx = np.asarray(order)[np.asarray(keep)]
+            pos, cls = pos[idx], cls[idx]
+        if transpose_flag:
+            pos = pos[:, [1, 0, 3, 2]]
+        return pos, cls

@@ -1,0 +1,85 @@
+"""End-to-end detection on a synthetic annotated meteor clip.
+
+This replaces the reference's missing LFS test video (SURVEY.md §4): a
+synthetic streak from (45%, 25%) to (30%, 55%) of the frame during
+2.4s..4.4s must be detected as one METEOR record at roughly the right time
+and place.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("METDETPY_TPU_MAX_POINTS", "2048")
+
+from metdetpy_tpu.api import detect_video
+from metdetpy_tpu.structs import MainDetectCfg
+from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+from metdetpy_tpu.utils import relative2abs_path, ts2frame
+
+W, H, FPS = 256, 144, 25.0
+
+
+@pytest.fixture(scope="module")
+def synth_frames():
+    meteor = SynthMeteor(start_sec=2.4, end_sec=4.4,
+                         pt1=(int(W * 0.45), int(H * 0.25)),
+                         pt2=(int(W * 0.30), int(H * 0.55)))
+    return generate_meteor_video(width=W, height=H, fps=FPS,
+                                 duration_sec=6.5, meteors=[meteor],
+                                 n_stars=40, noise_sigma=3.0)
+
+
+def _base_cfg() -> MainDetectCfg:
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False  # no weights in this env
+    return cfg
+
+
+def test_detects_synthetic_meteor(synth_frames):
+    cfg = _base_cfg()
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    records = mdrf.results
+    meteors = [t for rec in records for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1, f"no METEOR found in {len(records)} records"
+    best = max(meteors, key=lambda t: t.score)
+    sf = ts2frame(best.start_time, FPS)
+    ef = ts2frame(best.end_time, FPS)
+    # temporal tolerance: +-1s around [2.4, 4.4]
+    assert abs(sf / FPS - 2.4) < 1.0, best.start_time
+    assert abs(ef / FPS - 4.4) < 1.2, best.end_time
+    # spatial: range endpoints near the annotated trajectory box
+    xs = sorted([best.pt1[0], best.pt2[0]])
+    ys = sorted([best.pt1[1], best.pt2[1]])
+    assert abs(xs[0] - int(W * 0.30)) < 15 and abs(xs[1] - int(W * 0.45)) < 15
+    assert abs(ys[0] - int(H * 0.25)) < 15 and abs(ys[1] - int(H * 0.55)) < 15
+    assert best.score > 0.5
+
+
+def test_no_false_positive_on_empty_sky():
+    frames = generate_meteor_video(width=W, height=H, fps=FPS,
+                                   duration_sec=3.0, meteors=[
+                                       SynthMeteor(99, 100, (0, 0), (1, 1))],
+                                   n_stars=40, noise_sigma=3.0)
+    cfg = _base_cfg()
+    mdrf = detect_video(frames, None, cfg, work_mode="backend")
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR" and t.score >= 0.5]
+    assert len(meteors) == 0
+
+
+def test_frame_loop_loader_parity(synth_frames):
+    """ThreadVideoLoader (per-frame path) finds the same meteor."""
+    cfg = _base_cfg()
+    cfg.loader.name = "ThreadVideoLoader"
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1
