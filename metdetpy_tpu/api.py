@@ -12,6 +12,8 @@ from __future__ import annotations
 import time
 from typing import Optional
 
+import numpy as np
+
 from . import get_detector, get_loader, get_wrapper
 from .detectors.base import BaseDetector
 from .detectors.m3det import DiffAreaGuidingDetecor, LineDetector, M3Detector
@@ -160,37 +162,55 @@ def detect_video(video_name: str, mask_name: Optional[str],
                 results=collector.met_exporter.meteor_list)
 
 
-def _split_into_buckets(block):
-    """Split a block into power-of-two-sized chunks (64, 32, ..., 1) so XLA
-    compiles at most log2(block_frames) distinct block shapes per run."""
-    chunks = []
-    pos = 0
-    remaining = block.shape[0]
-    size = 64
-    while remaining > 0:
-        while size > remaining:
-            size //= 2
-        chunks.append(block[pos:pos + size])
-        pos += size
-        remaining -= size
-    return chunks
-
-
 def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                     work_mode, live_mode, visual_mode, visual_manager,
                     logger, t0) -> None:
+    # Two structural choices driven by TPU economics:
+    # 1. ONE block shape per run: compiles are expensive (and uncached
+    #    across processes on tunneled backends), so the tail block is
+    #    padded by repeating its last frame and padded positions' results
+    #    are dropped.
+    # 2. Pipelined dispatch/fetch: on a tunneled TPU a device->host fetch
+    #    costs ~100ms of pure latency, so blocks are dispatched ahead and
+    #    results collected by worker threads -- the fetch roundtrips of
+    #    consecutive blocks overlap instead of serializing.
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
     merged_idx = 0
     e = rt_param.exp_frame
     eq_int_fps = max(rt_param.eq_int_fps, 1)
-    while True:
-        raw_block = video_loader.pop_block()
-        if raw_block is None:
-            break
-        results = []
-        block_parts = _split_into_buckets(raw_block)
-        for part in block_parts:
-            results.extend(detector.process_block(part))
-        block = raw_block
+    block_frames = getattr(video_loader, "block_frames", 64)
+    use_async = hasattr(detector, "process_block_async")
+    pipeline_depth = 3
+    executor = ThreadPoolExecutor(max_workers=2) if use_async else None
+    inflight: "collections.deque" = collections.deque()
+
+    def dispatch(raw_block):
+        nonlocal use_async
+        n_real = raw_block.shape[0]
+        if n_real < block_frames:
+            pad = np.repeat(raw_block[-1:], block_frames - n_real, axis=0)
+            blk = np.concatenate([raw_block, pad], axis=0)
+        else:
+            blk = raw_block
+        if use_async:
+            try:
+                handle = detector.process_block_async(blk)
+            except NotImplementedError:
+                use_async = False
+            else:
+                fut = executor.submit(detector.collect, handle)
+                return fut, blk, n_real
+        return None, blk, n_real
+
+    def consume(entry):
+        nonlocal merged_idx
+        fut, block, n_real = entry
+        if fut is not None:
+            results = fut.result()[:n_real]
+        else:
+            results = detector.process_block(block)[:n_real]
         for j, (lines, cates) in enumerate(results):
             i = start_frame + merged_idx * e
             if work_mode == "backend" and merged_idx % eq_int_fps == 0:
@@ -207,7 +227,7 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 visual_manager.display_a_frame(block[j], visu_info)
                 if visual_manager.manual_stop:
                     logger.info("Manual interrupt signal detected.")
-                    return
+                    return False
             merged_idx += 1
         if live_mode:
             expect = (merged_idx * e / rt_param.fps
@@ -215,6 +235,25 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
             elapsed = time.time() - t0
             if elapsed < expect:
                 time.sleep(expect - elapsed)
+        return True
+
+    stopped = False
+    try:
+        while not stopped:
+            raw_block = video_loader.pop_block()
+            if raw_block is None:
+                break
+            inflight.append(dispatch(raw_block))
+            while len(inflight) >= pipeline_depth:
+                if consume(inflight.popleft()) is False:
+                    stopped = True
+                    break
+        while inflight and not stopped:
+            if consume(inflight.popleft()) is False:
+                break
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
 
 def _run_frame_loop(video_loader, detector, collector, rt_param, start_frame,

@@ -1,27 +1,31 @@
 """Line detectors: the shared adaptive-threshold/noise machinery, the M3
 (max-minus-mean) detector and the classic 4-frame detector -- restructured
-as batched device pipelines.
+as fully-fused batched device pipelines.
 
-Algorithm parity with reference MetLib/Detector.py:160-448; instead of the
-reference's per-frame OpenCV calls, each block of T merged frames runs two
-jitted device phases:
+Algorithm parity with reference MetLib/Detector.py:160-448. Per block of T
+merged frames, ONE jitted device step runs:
 
-  phase A: rolling window max/mean + sub-ROI noise std for every position
-           (ops.windows; replaces the O(n*H*W)-per-frame np.max hot spot).
-  host:    sequential noise-EMA -> per-frame adaptive binary thresholds
-           (tiny scalar math, kept in float64 for threshold-rounding parity
-           with the reference, MetLib/Detector.py:227-229).
-  phase B: median3 -> binarize -> close -> dynamic mask -> batched Hough
-           (ops.filters + ops.hough), then host-side line NMS.
+  rolling window max/mean + sub-ROI noise std (ops.windows)
+  -> noise-EMA + adaptive threshold as a lax.scan over the block
+     (the reference's per-frame host EMA, MetLib/Detector.py:225-229;
+     device f32 instead of host float64 -- documented drift source)
+  -> median3 -> binarize -> close -> dynamic mask -> batched Hough
+  -> everything the host needs packed into ONE f32 buffer.
 
-Window history, binarized-response history (dynamic mask) and the frame
-timer are carried across blocks.
+The single packed readback matters: on tunneled TPU backends a device->host
+fetch costs ~100 ms of latency regardless of size, so the detector exposes
+``process_block_async`` / ``collect`` and the caller pipelines blocks to
+hide the roundtrip entirely.
+
+Window history, binarized-response history (dynamic mask), EMA state and
+the frame timer are carried across blocks as device residents.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+import os
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,11 +35,18 @@ from ..log import BaseMetLog
 from ..ops import filters, windows
 from ..ops.hough import hough_lines_batch
 from ..structs import BinaryCfg
-from ..utils import EMA, lineset_nms
+from ..utils import lineset_nms
 from .base import BaseDetector, FrameResult
 
 NUM_LINES_TOOMUCH = 500
 MAX_ALLOW_GAP = 0.05  # diff-area % at which the adaptive hough gap closes
+N_EXTRAS = 6          # packed per-frame scalars (see _pack)
+
+# sensitivity polynomial thr = a*sigma^2 + b
+# (reference MetLib/Detector.py:177-183)
+SENSITIVITY_COEF = {"low": (2.0, 4.4), "normal": (1.2, 3.6),
+                    "high": (0.9, 3.0)}
+ABS_SENSITIVITY = {"high": 3, "normal": 5, "low": 7}
 
 
 def select_subarea(mask: np.ndarray, area: float):
@@ -61,28 +72,98 @@ def select_subarea(mask: np.ndarray, area: float):
     return (x1, y1, x1 + sub_h, y1 + sub_w)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "r1", "c1", "r2", "c2"))
-def _phase_a(gray_hist, sub_hist, frames, n, timer0, r1, c1, r2, c2):
-    stats, new_hist = windows.window_stats(gray_hist, frames, n, timer0)
-    sub_frames = frames[:, r1:r2, c1:c2]
-    stds, new_sub_hist = windows.window_noise_std(sub_hist, sub_frames, n,
-                                                  timer0)
-    return stats, stds, new_hist, new_sub_hist
+class EmaState(NamedTuple):
+    """Device-resident noise-EMA state (reference EMA w/ quadratic warmup,
+    MetLib/utils.py:324-368)."""
+    cur_value: jax.Array     # f32 scalar
+    t: jax.Array             # i32 update count
+    warmup_on: jax.Array     # bool
+    cur_momentum: jax.Array  # f32
+    bi_threshold: jax.Array  # f32 current integer threshold (as float)
+    bi_thr_float: jax.Array  # f32 unrounded threshold (for visu)
+
+    @staticmethod
+    def init(momentum: float, init_threshold: float) -> "EmaState":
+        return EmaState(jnp.float32(0.0), jnp.int32(0), jnp.asarray(True),
+                        jnp.float32(momentum), jnp.float32(init_threshold),
+                        jnp.float32(init_threshold))
+
+
+def _ema_threshold_scan(stds: jax.Array, timer0: jax.Array, state: EmaState,
+                        *, n: int, std_interval: int, momentum: float,
+                        warmup_speed: float, adaptive: bool, coef_a: float,
+                        coef_b: float) -> tuple[jax.Array, jax.Array,
+                                                jax.Array, EmaState]:
+    """Per-frame noise EMA + adaptive threshold over a block.
+
+    Update schedule parity with SNR_SW.update (MetLib/Detector.py:81-91):
+    every frame while 1 < timer <= n (fast warmup), then every std_interval
+    frames. Threshold parity with LineDetector.update (:225-229) including
+    round-half-to-even.
+    """
+    t_idx = jnp.arange(stds.shape[0], dtype=jnp.int32)
+    timers = timer0 + 1 + t_idx
+
+    def step(carry: EmaState, inp):
+        std_t, timer = inp
+        do_update = jnp.logical_or(
+            jnp.logical_and(timer > n, timer % std_interval == 0),
+            jnp.logical_and(timer > 1, timer <= n))
+
+        def apply(c: EmaState) -> EmaState:
+            k = c.t.astype(jnp.float32) * (1 - momentum) * warmup_speed
+            warm_m = momentum * (1 - jnp.square(1 - k))
+            cur_m = jnp.where(c.warmup_on & (k < 1), warm_m,
+                              jnp.float32(momentum))
+            warm_on = c.warmup_on & (k < 1)
+            new_val = cur_m * c.cur_value + (1 - cur_m) * std_t
+            return EmaState(new_val, c.t + 1, warm_on, cur_m,
+                            c.bi_threshold, c.bi_thr_float)
+
+        carry = jax.lax.cond(do_update, apply, lambda c: c, carry)
+        if adaptive:
+            thr_f = coef_a * jnp.square(carry.cur_value) + coef_b
+            use = carry.cur_value != 0
+            new_thr_f = jnp.where(use, thr_f, carry.bi_thr_float)
+            new_thr = jnp.where(use, jnp.round(thr_f), carry.bi_threshold)
+            carry = carry._replace(bi_threshold=new_thr,
+                                   bi_thr_float=new_thr_f)
+        return carry, (carry.bi_threshold, carry.bi_thr_float,
+                       carry.cur_value)
+
+    final, (thr, thr_f, ema_vals) = jax.lax.scan(step, state,
+                                                 (stds, timers))
+    return thr.astype(jnp.uint8), thr_f, ema_vals, final
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "dy_mask", "mask_area", "hough_threshold",
-                     "min_len", "max_gap", "max_points", "max_peaks"))
-def _phase_b(diff, thr, dy_hist, timer0, *, n, dy_mask, mask_area,
-             hough_threshold, min_len, max_gap, max_points, max_peaks):
-    med = filters.median3x3(diff)
+    static_argnames=("n", "roi", "dy_mask", "mask_area", "std_interval",
+                     "momentum", "warmup_speed", "adaptive", "coef_a",
+                     "coef_b", "hough_threshold", "min_len", "max_gap",
+                     "max_points", "max_peaks"))
+def _m3_block_step(gray_hist, sub_hist, dy_hist, ema_state, frames, timer0,
+                   *, n, roi, dy_mask, mask_area, std_interval, momentum,
+                   warmup_speed, adaptive, coef_a, coef_b, hough_threshold,
+                   min_len, max_gap, max_points, max_peaks):
+    """The fused M3 step over one [T, H, W] block. Returns the packed host
+    buffer plus new device carries (and the dst block for visu)."""
+    r1, c1, r2, c2 = roi
+    stats, new_gray = windows.window_stats(gray_hist, frames, n, timer0)
+    stds, new_sub = windows.window_noise_std(
+        sub_hist, frames[:, r1:r2, c1:c2], n, timer0)
+    thr, thr_f, ema_vals, new_ema = _ema_threshold_scan(
+        stds, timer0, ema_state, n=n, std_interval=std_interval,
+        momentum=momentum, warmup_speed=warmup_speed, adaptive=adaptive,
+        coef_a=coef_a, coef_b=coef_b)
+
+    med = filters.median3x3(stats.diff)
     binary = filters.binary_threshold(med, thr[:, None, None])
     closed = filters.close3x3(binary)
-    new_dy_hist = dy_hist
+    new_dy = dy_hist
     dst = closed
     if dy_mask:
-        dy_sum, new_dy_hist = windows.rolling_sum_u32(dy_hist, closed, n)
+        dy_sum, new_dy = windows.rolling_sum_u32(dy_hist, closed, n)
         t_block = closed.shape[0]
         timers = timer0 + 1 + jnp.arange(t_block, dtype=jnp.int32)
         lens = jnp.minimum(timers, n).astype(jnp.uint32)[:, None, None]
@@ -98,28 +179,45 @@ def _phase_b(diff, thr, dy_hist, timer0, *, n, dy_mask, mask_area,
     hough = hough_lines_batch(dst, gap.astype(jnp.float32),
                               threshold=hough_threshold, min_len=min_len,
                               max_points=max_points, max_peaks=max_peaks)
-    return dst, dst_sum, hough, new_dy_hist
+    packed = _pack(hough.lines, hough.valid, dst_sum, hough.npix,
+                   hough.overflow, ema_vals, thr_f, thr)
+    return packed, dst, new_gray, new_sub, new_dy, new_ema
+
+
+def _pack(lines, valid, dst_sum, npix, overflow, ema_vals, thr_f, thr):
+    """Pack all host-needed outputs into one [T, K*5 + N_EXTRAS] f32 buffer
+    (a single device->host fetch per block)."""
+    t_block, k, _ = lines.shape
+    flat = jnp.concatenate([
+        lines.astype(jnp.float32).reshape(t_block, k * 4),
+        valid.astype(jnp.float32),
+        dst_sum[:, None].astype(jnp.float32),
+        npix[:, None].astype(jnp.float32),
+        overflow[:, None].astype(jnp.float32),
+        ema_vals[:, None],
+        thr_f[:, None],
+        thr[:, None].astype(jnp.float32),
+    ], axis=1)
+    return flat
+
+
+def _unpack(buf: np.ndarray, k: int):
+    t_block = buf.shape[0]
+    lines = buf[:, :k * 4].reshape(t_block, k, 4).astype(np.int32)
+    valid = buf[:, k * 4:k * 5] > 0.5
+    extras = buf[:, k * 5:]
+    return lines, valid, extras  # extras: dst_sum,npix,overflow,ema,thrf,thr
 
 
 class LineDetector(BaseDetector):
     """Shared machinery: window stack, adaptive threshold, dynamic mask
     (reference LineDetector, MetLib/Detector.py:160-242)."""
 
-    SENSITIVITY_FUNC: dict[str, Callable[[float], float]] = {
-        "low": lambda x: 2.0 * x ** 2 + 4.4,
-        "normal": lambda x: 1.2 * x ** 2 + 3.6,
-        "high": lambda x: 0.9 * x ** 2 + 3,
-    }
-    ABS_SENSITIVITY = {"high": 3, "normal": 5, "low": 7}
-
     def __init__(self, window_sec: float, fps: float, mask: np.ndarray,
                  num_cls: int, cfg: BinaryCfg, logger: BaseMetLog,
                  max_points: Optional[int] = None,
                  max_peaks: int = 64) -> None:
         if max_points is None:
-            # active-pixel capacity for the Hough vote; overridable for
-            # small-footprint test runs
-            import os
             max_points = int(os.environ.get("METDETPY_TPU_MAX_POINTS", 8192))
         self.mask = mask
         self.num_cls = num_cls
@@ -135,20 +233,21 @@ class LineDetector(BaseDetector):
         h, w = mask.shape[:2]
         self.hw = (h, w)
 
-        # noise estimation state (reference SNR_SW, MetLib/Detector.py:34-127)
+        # noise estimation config (reference SNR_SW, Detector.py:34-127)
         self.std_roi = select_subarea(mask, self.bi_cfg.area)
-        noise_momentum = 1 - self.bi_cfg.interval / 60
-        self.noise_ema = EMA(momentum=noise_momentum, warmup_speed=self.n)
+        self.noise_momentum = 1 - self.bi_cfg.interval / 60
         self.std_interval = self.bi_cfg.interval * self.n
-
-        # adaptive threshold state
-        if self.bi_cfg.adaptive_bi_thre:
-            self.std2thre = self.SENSITIVITY_FUNC[self.bi_cfg.sensitivity]
-            self.bi_threshold = self.ABS_SENSITIVITY[self.bi_cfg.sensitivity]
+        self.adaptive = bool(self.bi_cfg.adaptive_bi_thre)
+        if self.adaptive:
+            self.coef_a, self.coef_b = SENSITIVITY_COEF[
+                self.bi_cfg.sensitivity]
+            init_thr = ABS_SENSITIVITY[self.bi_cfg.sensitivity]
         else:
-            self.std2thre = None
-            self.bi_threshold = self.bi_cfg.init_value
-        self.bi_threshold_float = float(self.bi_threshold)
+            self.coef_a, self.coef_b = 0.0, 0.0
+            init_thr = self.bi_cfg.init_value
+        self.bi_threshold = init_thr
+        self.bi_threshold_float = float(init_thr)
+        self.snr = 0.0
 
         # device-resident carries
         self.timer = 0
@@ -157,38 +256,52 @@ class LineDetector(BaseDetector):
         self._sub_hist = jnp.zeros((self.n - 1, r2 - r1, c2 - c1),
                                    dtype=jnp.uint8)
         self._dy_hist = jnp.zeros((self.n - 1, h, w), dtype=jnp.uint8)
+        self._ema = EmaState.init(self.noise_momentum, float(init_thr))
         self._pending: list[np.ndarray] = []
         self._last: Optional[FrameResult] = None
         self._visu_state: dict = {}
 
-    # -- host threshold schedule ----------------------------------------
+    # -- async block API -------------------------------------------------
 
-    def _thresholds_for_block(self, stds: np.ndarray) -> np.ndarray:
-        """Sequential noise-EMA over the block's per-position stds, then the
-        sensitivity polynomial with python-round (banker's) rounding --
-        matching the reference update schedule exactly
-        (SNR_SW.update MetLib/Detector.py:81-91 + LineDetector.update
-        :225-229)."""
-        t_block = len(stds)
-        out = np.empty((t_block,), dtype=np.uint8)
-        for i in range(t_block):
-            timer = self.timer + i + 1
-            if timer > self.n and timer % self.std_interval == 0:
-                self.noise_ema.update(float(stds[i]))
-            elif 1 < timer <= self.n:
-                self.noise_ema.update(float(stds[i]))
-            if self.bi_cfg.adaptive_bi_thre and self.noise_ema.cur_value != 0:
-                self.bi_threshold_float = self.std2thre(
-                    self.noise_ema.cur_value)
-                self.bi_threshold = round(self.bi_threshold_float)
-            out[i] = np.uint8(self.bi_threshold)
-        return out
+    def process_block_async(self, block: np.ndarray) -> Any:
+        """Dispatch one block; returns an opaque handle for ``collect``.
+        Device carries are updated immediately (dispatch is async)."""
+        raise NotImplementedError
 
-    @property
-    def snr(self) -> float:
-        return float(self.noise_ema.cur_value)
+    def collect(self, handle: Any) -> list[FrameResult]:
+        """Fetch a dispatched block's results (one host transfer)."""
+        packed_dev, dst_dev = handle
+        buf = np.asarray(packed_dev)
+        lines, valid, extras = _unpack(buf, self.max_peaks)
+        self.snr = float(extras[-1, 3])
+        self.bi_threshold_float = float(extras[-1, 4])
+        self.bi_threshold = int(extras[-1, 5])
+        self._visu_state = {"dst": dst_dev, "dst_sum": float(extras[-1, 0]),
+                            "lines_num": int(valid[-1].sum())}
+        return self._post_lines(lines, valid, extras)
 
-    # -- per-frame compat API --------------------------------------------
+    def process_block(self, block: np.ndarray) -> list[FrameResult]:
+        return self.collect(self.process_block_async(block))
+
+    def _post_lines(self, lines, valid, extras) -> list[FrameResult]:
+        results: list[FrameResult] = []
+        for t in range(lines.shape[0]):
+            if extras[t, 2] > 0.5:  # overflow: too-many-response frame drop
+                results.append((np.zeros((0, 4), int),
+                                np.zeros((0, self.num_cls))))
+                continue
+            frame_lines = lines[t][valid[t]]
+            if len(frame_lines) == 0 or len(frame_lines) > NUM_LINES_TOOMUCH:
+                results.append((np.zeros((0, 4), int),
+                                np.zeros((0, self.num_cls))))
+                continue
+            results.append(self._classify_lines(frame_lines))
+        return results
+
+    def _classify_lines(self, frame_lines: np.ndarray) -> FrameResult:
+        raise NotImplementedError
+
+    # -- per-frame compat API ---------------------------------------------
 
     def update(self, new_frame: np.ndarray) -> None:
         self._pending.append(np.asarray(new_frame, dtype=np.uint8))
@@ -197,66 +310,38 @@ class LineDetector(BaseDetector):
         if self._pending:
             block = np.stack(self._pending)
             self._pending.clear()
-            results = self.process_block(block)
-            self._last = results[-1]
+            self._last = self.process_block(block)[-1]
         if self._last is None:
             return np.zeros((0, 4), int), np.zeros((0, self.num_cls))
         return self._last
-
-    def process_block(self, block: np.ndarray) -> list[FrameResult]:
-        raise NotImplementedError
 
 
 class M3Detector(LineDetector):
     """Max-minus-mean detector over the sliding window (the default
     detector; reference M3Detector, MetLib/Detector.py:302-448)."""
 
-    def process_block(self, block: np.ndarray) -> list[FrameResult]:
-        t_block = block.shape[0]
-        r1, c1, r2, c2 = self.std_roi
-        stats, stds_dev, self._gray_hist, self._sub_hist = _phase_a(
-            self._gray_hist, self._sub_hist, jnp.asarray(block), self.n,
-            np.int32(self.timer), r1, c1, r2, c2)
-        thr = self._thresholds_for_block(np.asarray(stds_dev))
-        dst, dst_sum_dev, hough, self._dy_hist = _phase_b(
-            stats.diff, jnp.asarray(thr), self._dy_hist,
-            np.int32(self.timer), n=self.n,
-            dy_mask=bool(self.dynamic_cfg.dy_mask),
-            mask_area=self.mask_area,
+    def process_block_async(self, block: np.ndarray) -> Any:
+        (packed, dst, self._gray_hist, self._sub_hist, self._dy_hist,
+         self._ema) = _m3_block_step(
+            self._gray_hist, self._sub_hist, self._dy_hist, self._ema,
+            jnp.asarray(block), np.int32(self.timer), n=self.n,
+            roi=self.std_roi, dy_mask=bool(self.dynamic_cfg.dy_mask),
+            mask_area=self.mask_area, std_interval=self.std_interval,
+            momentum=self.noise_momentum, warmup_speed=float(self.n),
+            adaptive=self.adaptive, coef_a=self.coef_a, coef_b=self.coef_b,
             hough_threshold=int(self.hough_cfg.threshold),
             min_len=int(self.hough_cfg.min_len),
             max_gap=float(self.hough_cfg.max_gap),
             max_points=self.max_points, max_peaks=self.max_peaks)
-        self.timer += t_block
+        self.timer += block.shape[0]
+        return packed, dst
 
-        # compact readbacks: [T,K,4] lines + masks + scalars
-        lines_np = np.asarray(hough.lines)
-        valid_np = np.asarray(hough.valid)
-        overflow_np = np.asarray(hough.overflow)
-        dst_sum = np.asarray(dst_sum_dev)
-        self._visu_state = {
-            "dst": dst, "dst_sum": float(dst_sum[-1]),
-            "lines_num": int(valid_np[-1].sum()),
-        }
-
-        results: list[FrameResult] = []
-        for t in range(t_block):
-            if overflow_np[t]:
-                # analog of the reference's >NUM_LINES_TOOMUCH frame drop
-                results.append((np.zeros((0, 4), int),
-                                np.zeros((0, self.num_cls))))
-                continue
-            lines = lines_np[t][valid_np[t]]
-            if len(lines) == 0 or len(lines) > NUM_LINES_TOOMUCH:
-                results.append((np.zeros((0, 4), int),
-                                np.zeros((0, self.num_cls))))
-                continue
-            nms_lines, nonline_probs = lineset_nms(lines)
-            cls_pred = np.zeros((len(nms_lines), self.num_cls))
-            cls_pred[:, -1] = nonline_probs    # OTHERS (area-like) prob
-            cls_pred[:, 0] = 1 - nonline_probs  # METEOR (line-like) prob
-            results.append((nms_lines, cls_pred))
-        return results
+    def _classify_lines(self, frame_lines: np.ndarray) -> FrameResult:
+        nms_lines, nonline_probs = lineset_nms(frame_lines)
+        cls_pred = np.zeros((len(nms_lines), self.num_cls))
+        cls_pred[:, -1] = nonline_probs    # OTHERS (area-like) prob
+        cls_pred[:, 0] = 1 - nonline_probs  # METEOR (line-like) prob
+        return nms_lines, cls_pred
 
     def visu(self):
         from ..visu import ImgVisuAttrs, TextColorPair, TextVisu
@@ -285,19 +370,32 @@ class M3Detector(LineDetector):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hough_threshold", "min_len", "max_gap", "max_points",
-                     "max_peaks"))
-def _classic_phase(hist, frames, thr, *, hough_threshold, min_len, max_gap,
-                   max_points, max_peaks):
+    static_argnames=("n", "roi", "std_interval", "momentum", "warmup_speed",
+                     "adaptive", "coef_a", "coef_b", "hough_threshold",
+                     "min_len", "max_gap", "max_points", "max_peaks"))
+def _classic_block_step(gray_hist, sub_hist, classic_hist, ema_state, frames,
+                        timer0, *, n, roi, std_interval, momentum,
+                        warmup_speed, adaptive, coef_a, coef_b,
+                        hough_threshold, min_len, max_gap, max_points,
+                        max_peaks):
     """Batched uzanka 4-frame algorithm (reference ClassicDetector,
     MetLib/Detector.py:245-296): |f2-f3| -> binarize -> dilate -> invert ->
     AND with f0/f1 -> |.| -> binarize -> dilate -> Hough."""
-    seq = jnp.concatenate([hist, frames], axis=0)  # [3+T, H, W]
+    r1, c1, r2, c2 = roi
+    _, new_gray = windows.window_stats(gray_hist, frames, n, timer0)
+    stds, new_sub = windows.window_noise_std(
+        sub_hist, frames[:, r1:r2, c1:c2], n, timer0)
+    thr, thr_f, ema_vals, new_ema = _ema_threshold_scan(
+        stds, timer0, ema_state, n=n, std_interval=std_interval,
+        momentum=momentum, warmup_speed=warmup_speed, adaptive=adaptive,
+        coef_a=coef_a, coef_b=coef_b)
+
+    seq = jnp.concatenate([classic_hist, frames], axis=0)  # [3+T, H, W]
     t_block = frames.shape[0]
-    f0 = seq[3:3 + t_block]       # newest
+    f0 = seq[3:3 + t_block]
     f1 = seq[2:2 + t_block]
     f2 = seq[1:1 + t_block]
-    f3 = seq[0:t_block]           # oldest
+    f3 = seq[0:t_block]
     thr_b = thr[:, None, None]
     diff23 = jnp.where(f2 > f3, f2 - f3, f3 - f2)
     diff23 = filters.binary_threshold(diff23, thr_b)
@@ -311,7 +409,10 @@ def _classic_phase(hist, frames, thr, *, hough_threshold, min_len, max_gap,
     hough = hough_lines_batch(dst, gap, threshold=hough_threshold,
                               min_len=min_len, max_points=max_points,
                               max_peaks=max_peaks)
-    return hough, seq[t_block:]
+    dst_sum = jnp.sum(dst.astype(jnp.uint32), axis=(1, 2)) / 255.0
+    packed = _pack(hough.lines, hough.valid, dst_sum, hough.npix,
+                   hough.overflow, ema_vals, thr_f, thr)
+    return packed, dst, new_gray, new_sub, seq[t_block:], new_ema
 
 
 class ClassicDetector(LineDetector):
@@ -327,39 +428,38 @@ class ClassicDetector(LineDetector):
         # (reference MetLib/Detector.py:249-255)
         super().__init__(self.CLASSIC_WINDOW / fps, fps, mask, num_cls, cfg,
                          logger, **kw)
+        self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)
 
-    def process_block(self, block: np.ndarray) -> list[FrameResult]:
-        t_block = block.shape[0]
-        r1, c1, r2, c2 = self.std_roi
-        _, stds_dev, self._gray_hist, self._sub_hist = _phase_a(
-            self._gray_hist, self._sub_hist, jnp.asarray(block), self.n,
-            np.int32(self.timer), r1, c1, r2, c2)
-        thr = self._thresholds_for_block(np.asarray(stds_dev))
-        if not hasattr(self, "_classic_hist"):
-            self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)
-        hough, self._classic_hist = _classic_phase(
-            self._classic_hist, jnp.asarray(block), jnp.asarray(thr),
+    def process_block_async(self, block: np.ndarray) -> Any:
+        (packed, dst, self._gray_hist, self._sub_hist, self._classic_hist,
+         self._ema) = _classic_block_step(
+            self._gray_hist, self._sub_hist, self._classic_hist, self._ema,
+            jnp.asarray(block), np.int32(self.timer), n=self.n,
+            roi=self.std_roi, std_interval=self.std_interval,
+            momentum=self.noise_momentum, warmup_speed=float(self.n),
+            adaptive=self.adaptive, coef_a=self.coef_a, coef_b=self.coef_b,
             hough_threshold=int(self.hough_cfg.threshold),
             min_len=int(self.hough_cfg.min_len),
             max_gap=float(self.hough_cfg.max_gap),
             max_points=self.max_points, max_peaks=self.max_peaks)
-        warmup_end = self.timer + 1
-        self.timer += t_block
+        warmup_start = self.timer
+        self.timer += block.shape[0]
+        return packed, dst, warmup_start
 
-        lines_np = np.asarray(hough.lines)
-        valid_np = np.asarray(hough.valid)
-        results: list[FrameResult] = []
-        for t in range(t_block):
-            # no detection until the 4-frame window is full
-            if warmup_end + t < self.CLASSIC_WINDOW:
-                results.append((np.zeros((0, 4), int),
-                                np.zeros((0, self.num_cls))))
-                continue
-            lines = lines_np[t][valid_np[t]]
-            cls_pred = np.zeros((len(lines), self.num_cls))
-            cls_pred[:, 0] = 1  # always METEOR
-            results.append((lines, cls_pred))
+    def collect(self, handle: Any) -> list[FrameResult]:
+        packed, dst, warmup_start = handle
+        results = super().collect((packed, dst))
+        # no detection until the 4-frame window is full
+        for t in range(len(results)):
+            if warmup_start + t + 1 < self.CLASSIC_WINDOW:
+                results[t] = (np.zeros((0, 4), int),
+                              np.zeros((0, self.num_cls)))
         return results
+
+    def _classify_lines(self, frame_lines: np.ndarray) -> FrameResult:
+        cls_pred = np.zeros((len(frame_lines), self.num_cls))
+        cls_pred[:, 0] = 1  # always METEOR
+        return frame_lines, cls_pred
 
 
 class DiffAreaGuidingDetecor(BaseDetector):

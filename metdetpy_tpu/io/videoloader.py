@@ -463,6 +463,7 @@ class BlockVideoLoader(VanillaVideoLoader):
     def start(self):
         self.clear_queue()
         self.color_stacks.clear()
+        self._pending = []
         self.read_stopped = False
         self.status = True
         self.video.set_to(self.start_frame)

@@ -1,0 +1,400 @@
+"""Frame stackers and stacked-image denoise algorithms.
+
+Behavior parity with reference MetLib/stacker.py:16-482 plus the streaming
+FastGaussianParam statistics (reference MetLib/utils.py:418-513): streaming
+max/all/mean-var containers, MFNR mixed stacking with Gumbel expected-max
+correction, simple dust&scratches + bilateral denoise, and morphological
+line re-connection.
+
+These run in the offline export path (ClipToolkit); the pixel math uses
+numpy/cv2 on host over single stacked images -- the hot per-frame stacking
+itself is the device rolling max in ops.windows.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Union
+
+import cv2
+import numpy as np
+
+from ..log import BaseMetLog, get_useable_logger
+from ..structs import DenoiseOption
+from ..utils import EULER_CONSTANT, circular_kernel
+
+SUPPORT_BG_ALGO = ["median", "med-of-med", "sigma-clipping", "mean"]
+
+DTYPE_UPSCALE_MAP = {
+    np.dtype("uint8"): np.dtype("uint16"),
+    np.dtype("uint16"): np.dtype("uint32"),
+    np.dtype("uint32"): np.dtype("uint64"),
+    np.dtype("uint64"): np.dtype("float64"),
+}
+
+
+class FastGaussianParam:
+    """Streaming mean/variance in integer arithmetic with dtype upscaling
+    and add/sub/mask algebra (reference MetLib/utils.py:418-513)."""
+
+    def __init__(self, sum_mu: np.ndarray,
+                 square_sum: Optional[np.ndarray] = None,
+                 n: Optional[np.ndarray] = None, ddof: int = 1,
+                 dtype_n=np.dtype("int16")) -> None:
+        self.sum_mu = sum_mu
+        if square_sum is not None:
+            self.square_sum = square_sum
+        else:
+            sq_dtype = DTYPE_UPSCALE_MAP.get(sum_mu.dtype, np.float64)
+            self.square_sum = np.square(sum_mu, dtype=sq_dtype)
+        self.n = n if n is not None else np.ones_like(sum_mu, dtype=dtype_n)
+        self.ddof = ddof
+
+    @property
+    def mu(self) -> np.ndarray:
+        return np.round(self.sum_mu / self.n)
+
+    @property
+    def var(self) -> np.ndarray:
+        sum_mu = np.asarray(self.sum_mu, dtype=self.square_sum.dtype)
+        return (self.square_sum
+                - np.square(sum_mu) / self.n) / (self.n - self.ddof)
+
+    def __add__(self, other: "FastGaussianParam") -> "FastGaussianParam":
+        assert self.ddof == other.ddof
+        return FastGaussianParam(sum_mu=self.sum_mu + other.sum_mu,
+                                 square_sum=self.square_sum
+                                 + other.square_sum,
+                                 n=self.n + other.n, ddof=self.ddof)
+
+    def __sub__(self, other: "FastGaussianParam") -> "FastGaussianParam":
+        assert self.ddof == other.ddof
+        return FastGaussianParam(sum_mu=self.sum_mu - other.sum_mu,
+                                 square_sum=self.square_sum
+                                 - other.square_sum,
+                                 n=self.n - other.n, ddof=self.ddof)
+
+    def mask(self, mask_pos: np.ndarray) -> None:
+        assert mask_pos.dtype == np.dtype("bool")
+        self.sum_mu = self.sum_mu * mask_pos
+        self.square_sum = self.square_sum * mask_pos
+        self.n = np.asarray(mask_pos, dtype=np.uint16)
+
+    @property
+    def shape(self):
+        return self.sum_mu.shape
+
+
+# ---------------------------------------------------------------------------
+# Streaming containers
+# ---------------------------------------------------------------------------
+
+
+class BaseImgContainer:
+    def __init__(self):
+        self.container = None
+
+    def append(self, new_frame: np.ndarray) -> None:
+        pass
+
+    def export(self):
+        return self.container
+
+
+class AllImgContainer(BaseImgContainer):
+    def __init__(self):
+        self.container: list[np.ndarray] = []
+
+    def append(self, new_frame):
+        self.container.append(new_frame)
+
+
+class MaxImgContainer(BaseImgContainer):
+    def append(self, new_frame):
+        if self.container is None:
+            self.container = new_frame
+        else:
+            self.container = np.maximum(self.container, new_frame)
+
+
+class FastGaussianContainer(BaseImgContainer):
+    def append(self, new_frame):
+        fg = FastGaussianParam(new_frame.astype(np.uint16))
+        self.container = fg if self.container is None else self.container + fg
+
+
+def _batch_stacker(video_loader, container_cls_list, start_frame=None,
+                   end_frame=None, input_logger: Optional[BaseMetLog] = None
+                   ) -> list[Any]:
+    logger = get_useable_logger(input_logger)
+    containers = [c() for c in container_cls_list]
+    try:
+        if start_frame is not None or end_frame is not None:
+            video_loader.reset(start_frame=start_frame, end_frame=end_frame)
+        base_shape = None
+        video_loader.start()
+        for _ in range(video_loader.iterations):
+            frame = video_loader.pop()
+            if frame is None:
+                break
+            if base_shape is None:
+                base_shape = frame.shape
+            elif base_shape != frame.shape:
+                raise ValueError(f"frame shape changed: {base_shape} vs "
+                                 f"{frame.shape}")
+            for c in containers:
+                c.append(frame)
+    except Exception as e:
+        logger.error(repr(e))
+    finally:
+        video_loader.stop()
+    return [c.container for c in containers]
+
+
+def all_stacker(video_loader, start_frame=None, end_frame=None, logger=None):
+    return _batch_stacker(video_loader, [AllImgContainer], start_frame,
+                          end_frame, logger)[0]
+
+
+def max_stacker(video_loader, start_frame=None, end_frame=None, logger=None):
+    return _batch_stacker(video_loader, [MaxImgContainer], start_frame,
+                          end_frame, logger)[0]
+
+
+# ---------------------------------------------------------------------------
+# Background estimation helpers
+# ---------------------------------------------------------------------------
+
+
+def median_of_medians(img_list: list[np.ndarray],
+                      block_size: Optional[int] = None) -> np.ndarray:
+    """Memory-bounded approximate median (reference
+    MetLib/stacker.py:62-78)."""
+    if block_size is None:
+        block_size = int(len(img_list) ** 0.5)
+    block_num = (len(img_list) - 1) // block_size + 1
+    medians = [np.median(img_list[i * block_size:(i + 1) * block_size],
+                         axis=0) for i in range(block_num)]
+    return np.median(medians, axis=0)
+
+
+def single_sigma_clipping(img_list: list[np.ndarray],
+                          ref_fg_img: FastGaussianParam,
+                          sigma_high: float = 3.0,
+                          sigma_low: float = 3.0) -> FastGaussianParam:
+    """One-pass sigma clipping against the full-stack statistics
+    (reference MetLib/stacker.py:91-111)."""
+    mu, std = ref_fg_img.mu, np.sqrt(ref_fg_img.var)
+    hi = np.round(mu + sigma_high * std).clip(0, 255).astype(np.uint8)
+    lo = np.round(mu - sigma_low * std).clip(0, 255).astype(np.uint8)
+    clipped = None
+    for img in img_list:
+        reject = (img > hi) | (img < lo)
+        fgp = FastGaussianParam(img.astype(np.uint16))
+        fgp.mask(reject)
+        clipped = fgp if clipped is None else clipped + fgp
+    if clipped is None:
+        return ref_fg_img
+    return ref_fg_img - clipped
+
+
+def get_gumbel_mean(n: int) -> float:
+    """Expected maximum of n standard-normal samples (Gumbel approximation;
+    reference MetLib/stacker.py:114-125)."""
+    s = np.sqrt(2 * np.log(n))
+    return float(s - (np.log(np.log(n)) + np.log(4 * np.pi)) / (2 * s)
+                 + EULER_CONSTANT / s)
+
+
+def estimate_snr_smooth_residual(image: np.ndarray,
+                                 kernel_size: int = 5) -> float:
+    """Reference-free SNR estimate via smooth-residual decomposition
+    (reference MetLib/utils.py:1009-1045)."""
+    if image.ndim == 3:
+        gray = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+    else:
+        gray = image.copy()
+    smooth = cv2.GaussianBlur(gray, (kernel_size, kernel_size), 0)
+    residual = gray.astype(np.float32) - smooth.astype(np.float32)
+    var_signal = np.var(smooth)
+    var_noise = np.var(residual)
+    if var_noise == 0:
+        return float("inf")
+    return float(10 * np.log10(var_signal / var_noise))
+
+
+# ---------------------------------------------------------------------------
+# Denoise building blocks
+# ---------------------------------------------------------------------------
+
+
+def gamma_luminance_transform(img: np.ndarray, gamma: float) -> np.ndarray:
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    L, A, B = cv2.split(lab)
+    table = np.power(np.arange(256) / 255.0, gamma) * 255
+    L = cv2.LUT(L, table.astype(np.uint8))
+    return cv2.cvtColor(cv2.merge([L, A, B]), cv2.COLOR_Lab2BGR)
+
+
+def dust_and_scratches(img: np.ndarray, radius: int,
+                       threshold: int) -> np.ndarray:
+    """Photoshop-style dust & scratches filter: median-replace luminance
+    outliers (reference MetLib/stacker.py:216-238)."""
+    lab = cv2.cvtColor(img, cv2.COLOR_BGR2Lab)
+    L, A, B = cv2.split(lab)
+    median_l = cv2.medianBlur(L, 2 * radius + 1)
+    keep = cv2.absdiff(L, median_l) > threshold
+    L_result = L.copy()
+    L_result[keep] = median_l[keep]
+    return cv2.cvtColor(cv2.merge([L_result, A, B]), cv2.COLOR_Lab2BGR)
+
+
+def fill_large_contours(src: np.ndarray, max_allow_area: int = 30
+                        ) -> np.ndarray:
+    contours, _ = cv2.findContours(src, cv2.RETR_CCOMP,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    for cnt in contours:
+        if cv2.contourArea(cnt) > max_allow_area:
+            cv2.drawContours(src, [cnt], 0, [0, 0, 0], -1)
+    return src
+
+
+def connect_highlight_area(light_img: np.ndarray, light_diff_img: np.ndarray,
+                           rep_times: int = 1, ksize_multiplier: float = 1.0,
+                           clip_threshold: int = 30, gamma: float = 1.0,
+                           logger: Optional[BaseMetLog] = None) -> np.ndarray:
+    """Morphologically reconnect broken bright trails
+    (reference MetLib/stacker.py:241-293)."""
+    logger = get_useable_logger(logger)
+    clipped = cv2.cvtColor(
+        np.clip(light_diff_img, clip_threshold, 255).astype(np.uint8),
+        cv2.COLOR_BGR2GRAY)
+    otsu_thresh, highlight_mask = cv2.threshold(
+        clipped, 0, 1, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    logger.debug(f"Extreme highlight threshold = {otsu_thresh:.2f}")
+    masked_light = light_img * highlight_mask[..., None]
+    init_mask = highlight_mask.copy()
+    ksize = int((max(light_img.shape) * 0.01 * ksize_multiplier) // 2 * 2 + 1)
+    kernel = circular_kernel(ksize)
+    highlight_mask = cv2.morphologyEx(highlight_mask, cv2.MORPH_CLOSE, kernel,
+                                      iterations=rep_times)
+    masked_light = cv2.morphologyEx(masked_light, cv2.MORPH_CLOSE, kernel,
+                                    iterations=rep_times)
+    hat = fill_large_contours(highlight_mask - init_mask, 20)
+    masked_light = gamma_luminance_transform(masked_light, gamma=gamma)
+    ext = masked_light * hat[..., None]
+    return np.maximum(light_img, ext)
+
+
+# ---------------------------------------------------------------------------
+# Export stackers
+# ---------------------------------------------------------------------------
+
+
+def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
+                     start_frame=None, end_frame=None,
+                     logger: Optional[BaseMetLog] = None
+                     ) -> Optional[np.ndarray]:
+    """MFNR mixed stacking: estimate the background, correct the max-stack
+    by the Gumbel expected maximum, feather the foreground mask, and blend
+    max + mean images (reference MetLib/stacker.py:296-403)."""
+    logger = get_useable_logger(logger)
+    hp, blur_ksize = denoise_cfg.highlight_preserve, denoise_cfg.blur_ksize
+    connect_cfg, mfnr = denoise_cfg.connect_lines, denoise_cfg.mfnr_param
+    max_img, img_stack, init_fg = _batch_stacker(
+        video_loader, [MaxImgContainer, AllImgContainer,
+                       FastGaussianContainer], start_frame, end_frame, logger)
+    if max_img is None or not img_stack or init_fg is None:
+        return None
+    logger.debug(f"Max-stack SNR: "
+                 f"{estimate_snr_smooth_residual(max_img):.2f} db.")
+    assert mfnr.bg_algorithm in SUPPORT_BG_ALGO, \
+        f"unsupported bg algo {mfnr.bg_algorithm}"
+    if mfnr.bg_algorithm == "sigma-clipping":
+        sc = single_sigma_clipping(img_stack, init_fg,
+                                   sigma_high=mfnr.sigma_high,
+                                   sigma_low=mfnr.sigma_low)
+        est_bg_mu = sc.mu
+        est_bg_var = float(np.mean(np.sqrt(sc.var)))
+    elif mfnr.bg_algorithm == "mean":
+        est_bg_mu = init_fg.mu
+        est_bg_var = float(np.mean(np.sqrt(init_fg.var)))
+    else:
+        if mfnr.bg_algorithm == "median" or len(img_stack) <= 16:
+            est_bg_mu = np.median(img_stack, axis=0)
+        else:
+            est_bg_mu = median_of_medians(img_stack)
+        est_bg_var = float(np.mean(np.sqrt(init_fg.var)))
+
+    gumbel_mean = get_gumbel_mean(len(img_stack))
+    expect_max = est_bg_mu + est_bg_var * gumbel_mean * mfnr.bg_fix_factor
+    max_bias = max_img.astype(np.float64) - expect_max
+    pos_bias = max_bias[max_bias > 0]
+    highlight_avg = np.average(pos_bias) if pos_bias.size else 0.0
+    fg_mask = (max_bias > highlight_avg) | (max_img > 255 * hp)
+    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
+                         >= 1)[..., None], 3, axis=-1).astype(float)
+    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)
+    if connect_cfg.switch:
+        max_img = connect_highlight_area(
+            max_img, max_bias, rep_times=1,
+            ksize_multiplier=connect_cfg.ksize_multiplier,
+            clip_threshold=connect_cfg.threshold, gamma=connect_cfg.gamma,
+            logger=logger)
+    # brightness correction with highlight protection (factor -> 0 at 255)
+    fix_factor = 1 - ((max_img / 255 - hp).clip(0, 1) / (1 - hp))
+    fixed_max = np.clip(max_img.astype(np.float64)
+                        - est_bg_var * gumbel_mean * fix_factor, 0, 255)
+    mixed = np.round(fixed_max * fg_blur
+                     + est_bg_mu * (1 - fg_blur)).astype(np.uint8)
+    logger.debug(f"MFNR-stacked SNR: "
+                 f"{estimate_snr_smooth_residual(mixed):.2f} db.")
+    return mixed
+
+
+def simple_denoise(max_img: np.ndarray, denoise_cfg: DenoiseOption,
+                   logger: BaseMetLog) -> np.ndarray:
+    """Single-image denoise: dust&scratches background split + bilateral
+    background + feathered blend (reference MetLib/stacker.py:431-482)."""
+    hp, blur_ksize = denoise_cfg.highlight_preserve, denoise_cfg.blur_ksize
+    connect_cfg, simple = denoise_cfg.connect_lines, denoise_cfg.simple_param
+    logger.debug(f"Max-stack SNR: "
+                 f"{estimate_snr_smooth_residual(max_img):.2f} db.")
+    est_bg = dust_and_scratches(max_img, radius=simple.ds_radius,
+                                threshold=simple.ds_threshold)
+    max_diff = max_img.astype(np.float64) - est_bg
+    pos = max_diff[max_diff > 0]
+    highlight_avg = np.average(pos) if pos.size else 0.0
+    fg_mask = (max_diff > highlight_avg) | (max_img > 255 * hp)
+    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
+                         >= 1)[..., None], 3, axis=-1).astype(float)
+    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)
+    cp_max = np.asarray(max_img)
+    if connect_cfg.switch:
+        star_filter = circular_kernel(3)
+        filtered_diff = cv2.morphologyEx(max_diff, cv2.MORPH_OPEN, star_filter)
+        cp_max = connect_highlight_area(
+            cp_max, filtered_diff, rep_times=1,
+            ksize_multiplier=connect_cfg.ksize_multiplier,
+            clip_threshold=connect_cfg.threshold, gamma=connect_cfg.gamma,
+            logger=logger)
+    bg = cv2.bilateralFilter(max_img, d=simple.bi_d,
+                             sigmaColor=simple.bi_sigma_color,
+                             sigmaSpace=simple.bi_sigma_space)
+    mixed = (fg_blur * cp_max + (1 - fg_blur) * bg).astype(np.uint8)
+    logger.debug(f"Denoised SNR: "
+                 f"{estimate_snr_smooth_residual(mixed):.2f} db.")
+    return mixed
+
+
+def simple_denoise_stacker(video_loader, denoise_cfg: DenoiseOption,
+                           start_frame=None, end_frame=None,
+                           logger: Optional[BaseMetLog] = None
+                           ) -> Optional[np.ndarray]:
+    logger = get_useable_logger(logger)
+    max_img = _batch_stacker(video_loader, [MaxImgContainer], start_frame,
+                             end_frame, logger)[0]
+    if max_img is None:
+        return None
+    return simple_denoise(max_img, denoise_cfg, logger)

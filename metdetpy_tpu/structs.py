@@ -360,7 +360,7 @@ class MockVideoObject(DictAble):
 class LoaderCfg(DictAble):
     name: str
     wrapper: str
-    resize: Union[list[int], int, str]
+    resize: Union[list[int], int, str, None]
     exp_time: Union[float, str]
     merge_func: str
     grayscale: bool
