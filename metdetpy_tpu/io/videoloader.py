@@ -32,6 +32,7 @@ from ..log import get_default_logger
 from ..structs import BasicInfo
 from ..utils import (frame2time, parse_resize_param, sigma_clip, time2frame,
                      timestr2int)
+from ..native import u8_max_inplace as _u8_max_inplace
 from .fileio import load_mask
 from .videowrapper import BaseVideoWrapper
 
@@ -497,11 +498,16 @@ class BlockVideoLoader(VanillaVideoLoader):
                     ok_any = True
                     if self.keep_color_stacks:
                         frame, cframe = self.preprocess(raw, keep_color=True)
-                        color = cframe if color is None else np.maximum(
-                            color, cframe)
+                        if color is None:
+                            color = np.ascontiguousarray(cframe)
+                        else:
+                            _u8_max_inplace(color, cframe)
                     else:
                         frame = self.preprocess(raw)
-                    acc = frame if acc is None else np.maximum(acc, frame)
+                    if acc is None:
+                        acc = np.ascontiguousarray(frame)
+                    else:
+                        _u8_max_inplace(acc, frame)
                 if not ok_any:
                     break
                 block.append(acc)
