@@ -31,8 +31,17 @@ def detect_video(video_name: str, mask_name: Optional[str],
                  time_range: tuple[Optional[str], Optional[str]] = (None,
                                                                     None),
                  live_mode: bool = False,
-                 provider_key: Optional[str] = None) -> MDRF:
-    """Detect meteors (and other events) in a video; returns an MDRF."""
+                 provider_key: Optional[str] = None,
+                 checkpoint_path: Optional[str] = None,
+                 checkpoint_interval_sec: float = 60.0,
+                 resume: bool = False) -> MDRF:
+    """Detect meteors (and other events) in a video; returns an MDRF.
+
+    With ``checkpoint_path`` set, detector+collector state is snapshotted
+    every ``checkpoint_interval_sec``; ``resume=True`` restores from it and
+    continues at the saved frame cursor (subsystem absent in the reference,
+    SURVEY.md §5.4).
+    """
     set_default_logger(debug_mode, work_mode)
     logger = get_default_logger()
     logger.start()
@@ -134,17 +143,33 @@ def detect_video(video_name: str, mask_name: Optional[str],
         logger.stop()
         raise e
 
+    resume_idx = 0
+    if resume and checkpoint_path:
+        from .checkpoint import load_checkpoint
+        resume_idx = load_checkpoint(checkpoint_path, detector, collector)
+        video_loader.reset(
+            start_frame=start_frame + resume_idx * rt_param.exp_frame)
+        logger.info(f"Resumed from {checkpoint_path} at merged frame "
+                    f"{resume_idx}.")
+
+    from .profiling import StageTimer, maybe_jax_trace
+    timer = StageTimer()
     t1 = time.time()
     try:
         video_loader.start()
-        if isinstance(video_loader, BlockVideoLoader):
-            _run_block_loop(video_loader, detector, collector, rt_param,
-                            start_frame, work_mode, live_mode, visual_mode,
-                            visual_manager, logger, t0)
-        else:
-            _run_frame_loop(video_loader, detector, collector, rt_param,
-                            start_frame, end_frame, work_mode, live_mode,
-                            visual_mode, visual_manager, logger, t0)
+        with maybe_jax_trace():
+            if isinstance(video_loader, BlockVideoLoader):
+                _run_block_loop(video_loader, detector, collector, rt_param,
+                                start_frame, work_mode, live_mode,
+                                visual_mode, visual_manager, logger, t0,
+                                timer=timer, resume_idx=resume_idx,
+                                checkpoint_path=checkpoint_path,
+                                checkpoint_interval_sec=(
+                                    checkpoint_interval_sec))
+            else:
+                _run_frame_loop(video_loader, detector, collector, rt_param,
+                                start_frame, end_frame, work_mode, live_mode,
+                                visual_mode, visual_manager, logger, t0)
         if not visual_manager.manual_stop:
             logger.info("VideoLoader-stop detected.")
     except Exception as e:
@@ -155,16 +180,20 @@ def detect_video(video_name: str, mask_name: Optional[str],
         collector.clear()
         visual_manager.stop()
         logger.info("Time cost: %.4fs." % (time.time() - t1))
+        timer.log_summary(logger)
         logger.stop()
 
     return MDRF(version=VERSION, basic_info=video_info, config=cfg,
                 type="prediction", anno_size=video_info.resolution,
-                results=collector.met_exporter.meteor_list)
+                results=collector.met_exporter.meteor_list,
+                performance={k: v for k, v in timer.summary().items()})
 
 
 def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                     work_mode, live_mode, visual_mode, visual_manager,
-                    logger, t0) -> None:
+                    logger, t0, timer=None, resume_idx: int = 0,
+                    checkpoint_path: Optional[str] = None,
+                    checkpoint_interval_sec: float = 60.0) -> None:
     # Two structural choices driven by TPU economics:
     # 1. ONE block shape per run: compiles are expensive (and uncached
     #    across processes on tunneled backends), so the tail block is
@@ -176,8 +205,12 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     #    consecutive blocks overlap instead of serializing.
     import collections
     from concurrent.futures import ThreadPoolExecutor
+    from .profiling import StageTimer
 
-    merged_idx = 0
+    if timer is None:
+        timer = StageTimer()
+    merged_idx = resume_idx
+    last_ckpt = time.time()
     e = rt_param.exp_frame
     eq_int_fps = max(rt_param.eq_int_fps, 1)
     block_frames = getattr(video_loader, "block_frames", 64)
@@ -205,18 +238,21 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         return None, blk, n_real
 
     def consume(entry):
-        nonlocal merged_idx
+        nonlocal merged_idx, last_ckpt
         fut, block, n_real = entry
-        if fut is not None:
-            results = fut.result()[:n_real]
-        else:
-            results = detector.process_block(block)[:n_real]
+        with timer.stage("collect"):
+            if fut is not None:
+                results = fut.result()[:n_real]
+            else:
+                results = detector.process_block(block)[:n_real]
+        timer.add_frames(n_real * e)
         for j, (lines, cates) in enumerate(results):
             i = start_frame + merged_idx * e
             if work_mode == "backend" and merged_idx % eq_int_fps == 0:
                 logger.processing(str(frame2time(i, rt_param.fps)))
             if len(lines) or merged_idx % eq_int_fps == 0:
-                collector.update(i, lines=lines, cates=cates)
+                with timer.stage("collector_update"):
+                    collector.update(i, lines=lines, cates=cates)
             if visual_mode:
                 visu_info = [TextVisu(
                     "timestamp",
@@ -229,6 +265,13 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                     logger.info("Manual interrupt signal detected.")
                     return False
             merged_idx += 1
+        if checkpoint_path and (time.time() - last_ckpt
+                                >= checkpoint_interval_sec):
+            from .checkpoint import save_checkpoint
+            with timer.stage("checkpoint"):
+                save_checkpoint(checkpoint_path, detector, collector,
+                                merged_idx)
+            last_ckpt = time.time()
         if live_mode:
             expect = (merged_idx * e / rt_param.fps
                       ) * LIVE_MODE_SPEED_CTRL_CONST
@@ -240,10 +283,12 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     stopped = False
     try:
         while not stopped:
-            raw_block = video_loader.pop_block()
+            with timer.stage("decode_wait"):
+                raw_block = video_loader.pop_block()
             if raw_block is None:
                 break
-            inflight.append(dispatch(raw_block))
+            with timer.stage("dispatch"):
+                inflight.append(dispatch(raw_block))
             while len(inflight) >= pipeline_depth:
                 if consume(inflight.popleft()) is False:
                     stopped = True
@@ -254,6 +299,9 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     finally:
         if executor is not None:
             executor.shutdown(wait=True)
+        if checkpoint_path:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path, detector, collector, merged_idx)
 
 
 def _run_frame_loop(video_loader, detector, collector, rt_param, start_frame,

@@ -200,11 +200,15 @@ class YOLOModel:
                 w_rep *= self.multiscale_partition
             tot_h = (h_rep - 1) * PARTITION_MIN_OVERLAP
             tot_w = (w_rep - 1) * PARTITION_MIN_OVERLAP
-            h_size = int(h // (h_rep - tot_h))
-            w_size = int(w // (w_rep - tot_w))
+            h_size = min(int(h // (h_rep - tot_h)), h)
+            w_size = min(int(w // (w_rep - tot_w)), w)
             h_stride = int(h // (h_rep + tot_h))
             w_stride = int(w // (w_rep + tot_w))
-            tiles = [(i * h_stride, j * w_stride, h_size, w_size)
+            # clamp tile origins so all tiles share one shape (edge tiles
+            # gain extra overlap) -- keeps the batch stackable for the
+            # single batched forward per level
+            tiles = [(min(i * h_stride, h - h_size),
+                      min(j * w_stride, w - w_size), h_size, w_size)
                      for i in range(h_rep) for j in range(w_rep)]
             pos_list, cls_list = self._forward_tiles(x, tiles)
             result_pos.extend(pos_list)

@@ -1,0 +1,63 @@
+"""Checkpoint/resume: a run interrupted mid-stream and resumed from its
+checkpoint must produce the same detections as an uninterrupted run."""
+
+import os
+
+import numpy as np
+
+os.environ.setdefault("METDETPY_TPU_MAX_POINTS", "2048")
+
+from metdetpy_tpu.api import detect_video
+from metdetpy_tpu.structs import MainDetectCfg
+from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+from metdetpy_tpu.utils import relative2abs_path
+
+W, H, FPS = 192, 108, 25.0
+
+
+def _cfg():
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    return cfg
+
+
+def _meteors(frames_mdrf):
+    return [(t.start_time, t.category)
+            for rec in frames_mdrf.results for t in rec.target]
+
+
+def test_checkpoint_resume_matches_uninterrupted(tmp_path):
+    m = SynthMeteor(start_sec=3.2, end_sec=4.4,
+                    pt1=(int(W * .75), int(H * .2)),
+                    pt2=(int(W * .25), int(H * .75)))
+    frames = generate_meteor_video(width=W, height=H, fps=FPS,
+                                   duration_sec=6.0, meteors=[m],
+                                   n_stars=25, noise_sigma=2.5)
+    # full uninterrupted run
+    full = detect_video(frames, None, _cfg(), work_mode="backend")
+    assert any(t.category == "METEOR"
+               for r in full.results for t in r.target)
+
+    ckpt = str(tmp_path / "state.npz")
+    # run the first 2.56s (one 64-frame block), checkpointing at the end
+    first_half = frames[:64]
+    detect_video(first_half, None, _cfg(), work_mode="backend",
+                 checkpoint_path=ckpt, checkpoint_interval_sec=1e9)
+    assert os.path.exists(ckpt)
+
+    # resume on the full stream: loader seeks to the cursor, detector and
+    # collector state restored
+    resumed = detect_video(frames, None, _cfg(), work_mode="backend",
+                           checkpoint_path=ckpt, resume=True,
+                           checkpoint_interval_sec=1e9)
+    got_full = _meteors(full)
+    got_resumed = _meteors(resumed)
+    meteor_full = [x for x in got_full if x[1] == "METEOR"]
+    meteor_resumed = [x for x in got_resumed if x[1] == "METEOR"]
+    assert len(meteor_resumed) == len(meteor_full) >= 1
+    assert meteor_resumed[0][0] == meteor_full[0][0]  # same start time

@@ -1,0 +1,96 @@
+"""Flax YOLOv5s tests: architecture shapes, decode, NMS, multiscale tiling
+and the weight round-trip. Random weights (upstream ships only LFS
+pointers); these validate pipeline mechanics, not detection quality."""
+
+import numpy as np
+import pytest
+
+from metdetpy_tpu.models import yolov5
+from metdetpy_tpu.models.weights import (flatten_tree, load_params,
+                                         save_params, unflatten_tree)
+
+HW = (128, 128)  # small input for CPU test speed
+
+
+@pytest.fixture(scope="module")
+def model_vars():
+    return yolov5.init_params(nc=8, input_hw=HW, seed=0)
+
+
+def test_head_shapes(model_vars):
+    import jax.numpy as jnp
+    model, variables = model_vars
+    x = jnp.zeros((2, HW[0], HW[1], 3), jnp.float32)
+    heads = model.apply(variables, x)
+    assert len(heads) == 3
+    for head, stride in zip(heads, yolov5.STRIDES):
+        b, h, w, c = head.shape
+        assert (b, h, w) == (2, HW[0] // stride, HW[1] // stride)
+        assert c == 3 * (5 + 8)
+
+
+def test_decode_shapes_and_ranges(model_vars):
+    import jax.numpy as jnp
+    model, variables = model_vars
+    x = jnp.zeros((1, HW[0], HW[1], 3), jnp.float32)
+    heads = model.apply(variables, x)
+    pred = yolov5.decode_predictions(heads, nc=8)
+    n_expected = sum((HW[0] // s) * (HW[1] // s) * 3 for s in yolov5.STRIDES)
+    assert pred.shape == (1, n_expected, 13)
+    pred = np.asarray(pred)
+    # obj/cls scores are sigmoids
+    assert np.all(pred[..., 4:] >= 0) and np.all(pred[..., 4:] <= 1)
+    # xy centers lie within (pad of one stride around) the image
+    assert np.all(pred[..., 0] > -40) and np.all(pred[..., 0] < HW[1] + 40)
+
+
+def test_param_count_matches_yolov5s(model_vars):
+    _, variables = model_vars
+    n_params = sum(int(np.prod(v.shape))
+                   for v in flatten_tree(variables["params"]).values())
+    # yolov5s has ~7.2M params; ours differs only by the head class count
+    assert 6.5e6 < n_params < 8.0e6, n_params
+
+
+def test_weights_roundtrip(tmp_path, model_vars):
+    _, variables = model_vars
+    path = str(tmp_path / "w.npz")
+    save_params(variables, path)
+    loaded = load_params(path)
+    flat_a = flatten_tree(variables)
+    flat_b = flatten_tree(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
+
+
+def test_nms_device_semantics():
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops.nms import nms_xyxy
+    boxes = jnp.asarray([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60],
+                         [0, 0, 9, 9]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8, 0.7, 0.2], jnp.float32)
+    order, keep = nms_xyxy(boxes, scores, score_thre=0.3, nms_thre=0.45)
+    kept = np.asarray(order)[np.asarray(keep)]
+    assert 0 in kept and 2 in kept       # top box + distant box survive
+    assert 1 not in kept and 3 not in kept  # overlapped / low-score removed
+
+
+def test_yolomodel_forward_multiscale(tmp_path):
+    """End-to-end YOLOModel.forward on a random image exercises the tiled
+    batched inference path and output shapes."""
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.models.yolo import YOLOModel
+    model = YOLOModel(weight_path=str(tmp_path / "missing.npz"),
+                      nms=True, warmup=False, multiscale_pred=1,
+                      multiscale_partition=2, logger=BaseMetLog(),
+                      input_hw=HW)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (200, 320, 3), np.uint8)
+    boxes, cls = model.forward(img)
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+    assert cls.shape[0] == boxes.shape[0] and cls.shape[1] == 8
+    # boxes are in input-image coordinates
+    if len(boxes):
+        assert boxes[:, [0, 2]].max() <= 320 + 64
+        assert boxes[:, [1, 3]].max() <= 200 + 64
