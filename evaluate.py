@@ -125,9 +125,11 @@ def compare(video: OpenCVVideoWrapper, base_dict: MDRF, new_dict: MDRF,
     matched_id = np.zeros((len(base_results),), dtype=bool)
     gt_id = 0
     end_flag = False
+    considered = 0
     for i, inst in enumerate(new_results):
         if gt_mode and inst.score <= pos_thre:
             continue
+        considered += 1
         while (gt_id < len(base_results)
                and inst.start_time >= base_results[gt_id].end_time):
             gt_id += 1
@@ -170,7 +172,10 @@ def compare(video: OpenCVVideoWrapper, base_dict: MDRF, new_dict: MDRF,
         "tn_num": new_n - tp_num,
     }
     if gt_mode:
-        precision = tp_num / max(new_n, 1)
+        # precision over confident (score > pos_thre) predictions only --
+        # MDRF results include DROPPED records by design
+        summary["considered_num"] = considered
+        precision = tp_num / max(considered, 1)
         recall = tp_num / max(old_n, 1)
         summary["precision"] = precision
         summary["recall"] = recall

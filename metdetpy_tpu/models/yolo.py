@@ -55,6 +55,10 @@ class YOLOModel:
                  logger: Optional[BaseMetLog] = None,
                  input_hw: tuple[int, int] = DEFAULT_INPUT_HW) -> None:
         self.logger = logger or get_default_logger()
+        hw_env = os.environ.get("METDETPY_TPU_YOLO_HW")
+        if hw_env:
+            h, w = hw_env.lower().split("x")
+            input_hw = (int(h), int(w))
         self.nms = nms
         self.pos_thre = pos_thre
         self.nms_thre = nms_thre

@@ -53,14 +53,35 @@ def _compact_indices(flat01: jax.Array, k: int) -> tuple[jax.Array,
                                                          jax.Array]:
     """Indices of the first k nonzero entries of a 0/1 vector.
 
-    cumsum + vectorized binary search: dramatically cheaper on TPU than
-    jnp.nonzero's scatter-based lowering (measured ~20x on v5e for 518k
-    elements). Returns (idx [k] int32, valid [k] bool).
+    Two-level prefix sum (within 4096-wide rows along the lane axis + a
+    tiny cross-row cumsum) followed by a vectorized binary search. Far
+    cheaper on TPU than jnp.nonzero's scatter lowering or a monolithic 1-D
+    cumsum over 500k+ elements. Returns (idx [k] int32, valid [k] bool).
     """
-    pos = jnp.cumsum(flat01.astype(jnp.int32))
+    n = flat01.shape[0]
+    row = 512
+    n_pad = _round_up(n, row)
+    x = flat01.astype(jnp.int32)
+    if n_pad != n:
+        x = jnp.pad(x, (0, n_pad - n))
+    x2 = x.reshape(-1, row)
+    within = jnp.cumsum(x2, axis=1)              # lane-axis scan, vectorized
+    row_tot = within[:, -1]
+    row_prefix_incl = jnp.cumsum(row_tot)        # tiny cross-row scan
+    total = row_prefix_incl[-1]
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    idx = jnp.searchsorted(pos, targets, side="left").astype(jnp.int32)
-    valid = targets <= pos[-1]
+    # row holding the t-th active element: count rows fully before it
+    # (vectorized compare-count; no sequential binary-search steps)
+    row_idx = jnp.sum(row_prefix_incl[None, :] < targets[:, None],
+                      axis=1).astype(jnp.int32)
+    row_idx = jnp.clip(row_idx, 0, x2.shape[0] - 1)
+    base = row_prefix_incl[row_idx] - row_tot[row_idx]  # exclusive prefix
+    local_target = targets - base
+    row_within = within[row_idx]                 # [k, row] row gather
+    col_idx = jnp.sum(row_within < local_target[:, None],
+                      axis=1).astype(jnp.int32)
+    idx = row_idx * row + jnp.clip(col_idx, 0, row - 1)
+    valid = targets <= total
     return jnp.where(valid, idx, -1), valid
 
 

@@ -97,7 +97,8 @@ def generate_meteor_video(width: int = 960, height: int = 540,
     return frames
 
 
-def write_video(frames: np.ndarray, filename: str, fps: float = 25.0) -> None:
+def write_video(frames: np.ndarray, filename: str, fps: float = 25.0,
+                quality: int = 100) -> None:
     """Encode frames to a video file via cv2 (mp4v / MJPG by extension)."""
     import cv2
     h, w = frames.shape[1:3]
@@ -105,6 +106,7 @@ def write_video(frames: np.ndarray, filename: str, fps: float = 25.0) -> None:
                                       else "MJPG"))
     writer = cv2.VideoWriter(filename, fourcc, fps, (w, h))
     assert writer.isOpened(), f"cannot open video writer for {filename}"
+    writer.set(cv2.VIDEOWRITER_PROP_QUALITY, quality)
     for frame in frames:
         if frame.ndim == 2:
             frame = cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR)

@@ -1,0 +1,73 @@
+"""Pipeline-mechanics tests for the DL paths: the recheck stage consuming
+in-memory color stacks (no second decode) and the MLDetector main loop.
+Random YOLO weights -- these verify plumbing and failure-handling, not
+detection quality."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("METDETPY_TPU_MAX_POINTS", "2048")
+
+from metdetpy_tpu.api import detect_video
+from metdetpy_tpu.structs import MainDetectCfg
+from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+from metdetpy_tpu.utils import relative2abs_path
+
+W, H, FPS = 192, 108, 25.0
+
+
+@pytest.fixture(scope="module")
+def color_frames():
+    m = SynthMeteor(start_sec=1.2, end_sec=2.2,
+                    pt1=(int(W * .7), int(H * .25)),
+                    pt2=(int(W * .3), int(H * .6)))
+    return generate_meteor_video(width=W, height=H, fps=FPS,
+                                 duration_sec=3.5, meteors=[m], n_stars=25,
+                                 noise_sigma=2.5, color=True)
+
+
+def test_recheck_with_block_loader_color_stacks(color_frames, monkeypatch):
+    """Recheck on: the exporter must get stacked color images from the
+    loader's in-memory chunks and run the model; with random weights the
+    matching demotes proposals (OTHERS/DROPPED) but the pipeline completes
+    and emits records."""
+    monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = True
+    mdrf = detect_video(color_frames, None, cfg, work_mode="backend")
+    # the raw proposal was strong; after recheck with garbage weights it is
+    # recategorized rather than lost
+    cats = [t.category for rec in mdrf.results for t in rec.target]
+    assert len(cats) >= 1
+    assert all(c in ("METEOR", "OTHERS", "DROPPED") or isinstance(c, str)
+               for c in cats)
+    rechecked = [t for rec in mdrf.results for t in rec.target
+                 if t.raw_score is not None or t.category in ("OTHERS",
+                                                              "DROPPED")]
+    assert len(rechecked) >= 1, cats
+
+
+def test_mldetector_main_loop(color_frames, monkeypatch):
+    """dldet-style config: MLDetector over max-stacked color windows."""
+    monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(color_frames[:40], None, cfg, work_mode="backend")
+    # with random weights results are arbitrary; the run must complete and
+    # produce a well-formed MDRF
+    assert mdrf.type == "prediction"
+    for rec in mdrf.results:
+        for t in rec.target:
+            assert len(t.pt1) == 2 and len(t.pt2) == 2
