@@ -157,9 +157,8 @@ def _m3_block_step(gray_hist, sub_hist, dy_hist, ema_state, frames, timer0,
         momentum=momentum, warmup_speed=warmup_speed, adaptive=adaptive,
         coef_a=coef_a, coef_b=coef_b)
 
-    med = filters.median3x3(stats.diff)
-    binary = filters.binary_threshold(med, thr[:, None, None])
-    closed = filters.close3x3(binary)
+    from ..ops.pallas_kernels import fused_median_binarize_close
+    closed = fused_median_binarize_close(stats.diff, thr)
     new_dy = dy_hist
     dst = closed
     if dy_mask:

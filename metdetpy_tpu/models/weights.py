@@ -90,10 +90,29 @@ def convert_onnx(onnx_path: str) -> dict:
     except ImportError as e:
         raise ImportError(
             "onnx is not installed; cannot convert ONNX weights. Provide a "
-            "*.flax.npz file (save_params) instead.") from e
+            "*.flax.npz file (save_params) or a torch checkpoint "
+            "(convert_torch_checkpoint) instead.") from e
     model = onnx.load(onnx_path)
     sd = {init.name: numpy_helper.to_array(init)
           for init in model.graph.initializer}
+    return convert_state_dict(sd)
+
+
+def convert_torch_checkpoint(ckpt_path: str) -> dict:
+    """Convert an ultralytics yolov5s torch checkpoint (.pt) to the Flax
+    variable tree -- the alternative conversion path for environments with
+    torch but no onnx (like this one)."""
+    import torch
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd_t = model.state_dict() if hasattr(model, "state_dict") else model
+    sd = {k: np.asarray(v.float().numpy()) for k, v in sd_t.items()}
+    return convert_state_dict(sd)
+
+
+def convert_state_dict(sd: dict[str, np.ndarray]) -> dict:
+    """Map an ultralytics yolov5s state dict (``model.N.*`` names, torch
+    OIHW conv layout) onto this package's Flax module tree."""
     flat: dict[str, np.ndarray] = {}
     for idx, dst in _LAYER_MAP.items():
         src = f"model.{idx}"

@@ -219,11 +219,11 @@ def _extract_segments(dst01: jax.Array, theta_idx: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("threshold", "min_len", "max_points", "max_peaks",
-                     "theta_chunk"))
+                     "theta_chunk", "frame_chunk"))
 def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
                       min_len: int, max_points: int = 8192,
-                      max_peaks: int = 64,
-                      theta_chunk: int = 30) -> HoughResult:
+                      max_peaks: int = 64, theta_chunk: int = 30,
+                      frame_chunk: int = 8) -> HoughResult:
     """Batched probabilistic-Hough-equivalent line extraction.
 
     Args:
@@ -278,6 +278,20 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
                                            min_len, gap, n_steps)
         return lines, line_ok, npix, overflow
 
+    # frames processed in vmapped sub-batches: amortizes per-iteration
+    # overhead of the sequential map while bounding peak memory
+    fc = frame_chunk
+    while t_block % fc != 0:
+        fc //= 2
+    if fc > 1:
+        d4 = dst01.reshape(t_block // fc, fc, h, w)
+        g2 = max_gap.reshape(t_block // fc, fc)
+        lines, valid, npix, overflow = lax.map(
+            lambda args: jax.vmap(lambda a, b: per_frame((a, b)))(*args),
+            (d4, g2))
+        reshape = lambda x: x.reshape((t_block,) + x.shape[2:])
+        return HoughResult(reshape(lines), reshape(valid), reshape(npix),
+                           reshape(overflow))
     lines, valid, npix, overflow = lax.map(per_frame, (dst01, max_gap))
     return HoughResult(lines, valid, npix, overflow)
 

@@ -1,0 +1,163 @@
+"""Pallas TPU kernels for the detection hot path.
+
+``fused_median_binarize_close`` fuses the post-diff stage of the M3
+detector -- 3x3 median, per-frame binary threshold, 3x3 morphological
+close -- into a single VMEM-resident kernel: one HBM read and one HBM
+write per frame instead of the ~6 tensor materializations of the unfused
+XLA graph (replaces cv2.medianBlur/threshold/morphologyEx of the reference,
+MetLib/Detector.py:329-341; see SURVEY.md §2.9 "fused Pallas window
+kernel").
+
+A full 540x960 uint8 frame is ~0.5 MB, far below the ~16 MB VMEM budget,
+so the grid is one program per frame and each program owns the whole frame;
+the compute itself sweeps the frame in row strips with 3-row halos because
+Mosaic only legalizes vector min/max/compare on 32-bit lanes and full-frame
+i32 intermediates would exceed the VMEM budget. Above ~4 MB/frame the
+helper falls back to the XLA path automatically.
+
+Semantics match the cv2 defaults exactly (validated against cv2 in tests):
+median uses replicate borders; dilate treats out-of-image as 0 and erode as
+255 (OpenCV's -inf/+inf border convention on uint8).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import filters
+
+VMEM_FRAME_LIMIT = 4 * 1024 * 1024  # fall back to XLA above ~4 MB/frame
+
+
+
+
+
+def _median9(v: list[jax.Array]) -> jax.Array:
+    pairs = [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+             (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+             (4, 2), (6, 4), (4, 2)]
+    v = list(v)
+    for i, j in pairs:
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+    return v[4]
+
+
+def _max9(wins: list[jax.Array]) -> jax.Array:
+    out = wins[0]
+    for win in wins[1:]:
+        out = jnp.maximum(out, win)
+    return out
+
+
+def _min9(wins: list[jax.Array]) -> jax.Array:
+    out = wins[0]
+    for win in wins[1:]:
+        out = jnp.minimum(out, win)
+    return out
+
+
+STRIP_ROWS = 64  # rows of output produced per in-kernel strip iteration
+
+
+def _kernel(thr_ref, in_ref, out_ref):
+    # Mosaic on this toolchain only legalizes vector min/max/compare for
+    # i32/f32, and full-frame i32 intermediates blow the VMEM budget (the
+    # median network keeps ~9 slices live). So the uint8 frame stays
+    # resident in VMEM and the kernel sweeps it in row strips, casting each
+    # strip (+3-row halo for the median->dilate->erode chain) to i32.
+    x_u8 = in_ref[0]
+    h, w = x_u8.shape
+    thr = thr_ref[pl.program_id(0), 0]
+
+    n_strips = (h + STRIP_ROWS - 1) // STRIP_ROWS
+    for k in range(n_strips):  # static unroll: all shapes static
+        r0 = k * STRIP_ROWS
+        s = min(STRIP_ROWS, h - r0)
+        lo = max(r0 - 3, 0)
+        hi = min(r0 + s + 3, h)
+        strip = x_u8[lo:hi].astype(jnp.int32)  # [hi-lo, w]
+        # extend to exactly [s+6, w] with edge replication (frame borders)
+        top_pad = lo - (r0 - 3)
+        bot_pad = (r0 + s + 3) - hi
+        parts = []
+        if top_pad:
+            parts.extend([strip[0:1]] * top_pad)
+        parts.append(strip)
+        if bot_pad:
+            parts.extend([strip[-1:]] * bot_pad)
+        ext = jnp.concatenate(parts, axis=0) if len(parts) > 1 else strip
+
+        # median over rows [r0-2, r0+s+2): replicate-pad columns
+        extc = jnp.concatenate([ext[:, 0:1], ext, ext[:, -1:]], axis=1)
+        med = _median9([extc[dy:dy + s + 4, dx:dx + w]
+                        for dy in range(3) for dx in range(3)])
+        binary = jnp.where(med > thr, 255, 0)  # rows [r0-2, r0+s+2)
+        # out-of-frame rows read 0 for dilation (cv2 border convention)
+        row_ids = (jax.lax.broadcasted_iota(jnp.int32, (s + 4, w), 0)
+                   + (r0 - 2))
+        binary = jnp.where((row_ids >= 0) & (row_ids < h), binary, 0)
+        binc = jnp.concatenate(
+            [jnp.zeros((s + 4, 1), jnp.int32), binary,
+             jnp.zeros((s + 4, 1), jnp.int32)], axis=1)
+        dil = _max9([binc[dy:dy + s + 2, dx:dx + w]
+                     for dy in range(3) for dx in range(3)])
+        # out-of-frame rows read 255 for erosion; rows [r0-1, r0+s+1)
+        row_ids2 = (jax.lax.broadcasted_iota(jnp.int32, (s + 2, w), 0)
+                    + (r0 - 1))
+        dil = jnp.where((row_ids2 >= 0) & (row_ids2 < h), dil, 255)
+        dilc = jnp.concatenate(
+            [jnp.full((s + 2, 1), 255, jnp.int32), dil,
+             jnp.full((s + 2, 1), 255, jnp.int32)], axis=1)
+        closed = _min9([dilc[dy:dy + s, dx:dx + w]
+                        for dy in range(3) for dx in range(3)])
+        out_ref[0, r0:r0 + s, :] = closed.astype(jnp.uint8)
+
+
+@jax.jit
+def _fused_pallas(diff: jax.Array, thr: jax.Array) -> jax.Array:
+    t, h, w = diff.shape
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((t, h, w), jnp.uint8),
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole [T,1] thr array
+            pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )(thr.reshape(t, 1).astype(jnp.int32), diff)
+
+
+def _use_pallas() -> bool:
+    flag = os.environ.get("METDETPY_TPU_USE_PALLAS")
+    if flag is not None:
+        return flag not in ("0", "false", "off")
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def fused_median_binarize_close(diff: jax.Array,
+                                thr: jax.Array) -> jax.Array:
+    """median3x3 -> (x > thr[t]) * 255 -> close3x3 over a [T, H, W] block.
+
+    Uses the fused Pallas kernel on TPU backends (frames must fit VMEM);
+    falls back to the equivalent XLA ops elsewhere.
+    """
+    t, h, w = diff.shape
+    if _use_pallas() and h * w <= VMEM_FRAME_LIMIT:
+        return _fused_pallas(diff, thr)
+    binary = filters.binary_threshold(filters.median3x3(diff),
+                                      thr[:, None, None])
+    return filters.close3x3(binary)

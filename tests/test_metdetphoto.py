@@ -1,0 +1,50 @@
+"""MetDetPhoto CLI smoke tests (single image + folder modes, random
+weights, small model input)."""
+
+import json
+import os
+import sys
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def img_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        img = rng.integers(0, 40, (96, 128, 3), np.uint8)
+        cv2.line(img, (20, 20), (100, 70), (250, 250, 250), 2)
+        cv2.imwrite(str(d / f"img_{i}.jpg"), img)
+    return d
+
+
+def _run(argv, monkeypatch):
+    monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
+    import MetDetPhoto
+    old = sys.argv
+    sys.argv = argv
+    try:
+        MetDetPhoto.main()
+    finally:
+        sys.argv = old
+
+
+def test_single_image_mode(img_dir, tmp_path, monkeypatch):
+    out = tmp_path / "res.json"
+    _run(["MetDetPhoto.py", str(img_dir / "img_0.jpg"), "--scale", "0",
+          "--save-path", str(out)], monkeypatch)
+    data = json.loads(out.read_text())
+    assert data["type"] == "image-prediction"
+    assert isinstance(data["results"], list)
+
+
+def test_folder_mode(img_dir, tmp_path, monkeypatch):
+    out = tmp_path / "res.json"
+    _run(["MetDetPhoto.py", str(img_dir), "--scale", "0",
+          "--save-path", str(out)], monkeypatch)
+    data = json.loads(out.read_text())
+    assert data["type"] == "image-prediction"
+    assert data["basic_info"]["image_folder"] == str(img_dir)

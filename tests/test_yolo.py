@@ -64,6 +64,51 @@ def test_weights_roundtrip(tmp_path, model_vars):
         np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
 
 
+def test_convert_state_dict_roundtrip(model_vars):
+    """Invert the ultralytics->Flax mapping on our own random init, convert
+    it back, and require exact round-trip equality -- validates the
+    converter against the real module tree without needing the (absent)
+    upstream weights."""
+    from metdetpy_tpu.models.weights import convert_state_dict
+    _, variables = model_vars
+    flat = flatten_tree(variables)
+
+    inv_layer = {v: k for k, v in
+                 __import__("metdetpy_tpu.models.weights",
+                            fromlist=["_LAYER_MAP"])._LAYER_MAP.items()}
+    sd = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        coll, mod = parts[0], parts[1]
+        if mod.startswith("detect"):
+            i = int(mod[-1])
+            if parts[-1] == "kernel":
+                sd[f"model.24.m.{i}.weight"] = val.transpose(3, 2, 0, 1)
+            else:
+                sd[f"model.24.m.{i}.bias"] = val
+            continue
+        layer = inv_layer[mod]
+        sub = parts[2:-2] if len(parts) > 4 else parts[2:-2]
+        # path forms: <mod>/(cv1|cv2|cv3|m0..|conv|bn)/...
+        inner = parts[1:-2]  # module path below collection, above leaf
+        torch_mod = f"model.{layer}"
+        for p in parts[2:-2]:
+            torch_mod += "." + (f"m.{p[1:]}" if p.startswith("m") and
+                                p[1:].isdigit() else p)
+        unit, leaf = parts[-2], parts[-1]
+        if unit == "conv" and leaf == "kernel":
+            sd[f"{torch_mod}.conv.weight"] = val.transpose(3, 2, 0, 1)
+        elif unit == "bn":
+            name = {"scale": "weight", "bias": "bias", "mean":
+                    "running_mean", "var": "running_var"}[leaf]
+            sd[f"{torch_mod}.bn.{name}"] = val
+    converted = convert_state_dict(sd)
+    flat2 = flatten_tree(converted)
+    assert set(flat2) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(flat[k]), flat2[k], err_msg=k)
+
+
 def test_nms_device_semantics():
     import jax.numpy as jnp
     from metdetpy_tpu.ops.nms import nms_xyxy
