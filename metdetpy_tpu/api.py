@@ -237,6 +237,15 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 return fut, blk, n_real
         return None, blk, n_real
 
+    progress = None
+    if work_mode == "frontend":
+        try:
+            import tqdm
+            total = max((video_loader.iterations // e) - resume_idx, 0)
+            progress = tqdm.tqdm(total=total, ncols=100, unit="frame")
+        except ImportError:
+            pass
+
     def consume(entry):
         nonlocal merged_idx, last_ckpt
         fut, block, n_real = entry
@@ -246,6 +255,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
             else:
                 results = detector.process_block(block)[:n_real]
         timer.add_frames(n_real * e)
+        if progress is not None:
+            progress.update(n_real)
         for j, (lines, cates) in enumerate(results):
             i = start_frame + merged_idx * e
             if work_mode == "backend" and merged_idx % eq_int_fps == 0:
@@ -299,6 +310,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     finally:
         if executor is not None:
             executor.shutdown(wait=True)
+        if progress is not None:
+            progress.close()
         if checkpoint_path:
             from .checkpoint import save_checkpoint
             save_checkpoint(checkpoint_path, detector, collector, merged_idx)

@@ -1,0 +1,251 @@
+"""YOLOv5s training: loss, target assignment, sharded train step.
+
+The reference consumes pretrained ONNX weights that are Git-LFS pointers
+absent from this mount (SURVEY.md §6), so this framework includes the
+training path needed to (re)produce weights: a YOLOv5-style loss (BCE
+objectness + BCE class + box regression on the decoded parameterization),
+a host-side anchor assigner building dense per-head targets, and a train
+step shardable over a (dp, mdl) mesh -- batch data-parallel, parameters
+sharded over output channels (GSPMD inserts the collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from . import yolov5
+
+ANCHOR_T = 4.0  # wh-ratio matching threshold (ultralytics default)
+
+
+# ---------------------------------------------------------------------------
+# Target assignment (host, numpy)
+# ---------------------------------------------------------------------------
+
+
+def build_dense_targets(boxes_list: Sequence[np.ndarray],
+                        labels_list: Sequence[np.ndarray],
+                        input_hw: tuple[int, int], nc: int,
+                        anchors=yolov5.DEFAULT_ANCHORS,
+                        strides=yolov5.STRIDES):
+    """Build dense per-head targets from per-image xyxy boxes + labels.
+
+    Returns a list over heads of (tgt [B,h,w,3,5+nc], mask [B,h,w,3]):
+    a GT is assigned to every anchor whose w/h ratio to the GT box is
+    within ANCHOR_T at the grid cell containing the box center.
+    """
+    b = len(boxes_list)
+    out = []
+    for anc, stride in zip(anchors, strides):
+        gh, gw = input_hw[0] // stride, input_hw[1] // stride
+        tgt = np.zeros((b, gh, gw, 3, 5 + nc), np.float32)
+        mask = np.zeros((b, gh, gw, 3), np.float32)
+        for bi, (boxes, labels) in enumerate(zip(boxes_list, labels_list)):
+            for box, label in zip(boxes, labels):
+                x1, y1, x2, y2 = [float(v) for v in box]
+                cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+                w, h = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+                gx, gy = int(cx / stride), int(cy / stride)
+                if not (0 <= gx < gw and 0 <= gy < gh):
+                    continue
+                for ai, (aw, ah) in enumerate(anc):
+                    r = max(w / aw, aw / w, h / ah, ah / h)
+                    if r > ANCHOR_T:
+                        continue
+                    tgt[bi, gy, gx, ai, 0:4] = (cx, cy, w, h)
+                    tgt[bi, gy, gx, ai, 4] = 1.0
+                    tgt[bi, gy, gx, ai, 5 + int(label)] = 1.0
+                    mask[bi, gy, gx, ai] = 1.0
+        out.append((tgt, mask))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def _bce(logits, labels):
+    return optax.sigmoid_binary_cross_entropy(logits, labels)
+
+
+def yolo_loss(heads: Sequence[jax.Array], targets, nc: int,
+              anchors=yolov5.DEFAULT_ANCHORS, strides=yolov5.STRIDES,
+              box_w: float = 0.05, obj_w: float = 1.0, cls_w: float = 0.5):
+    """YOLOv5-style loss over raw head outputs and dense targets."""
+    total = 0.0
+    for head, (tgt, mask), anc, stride in zip(heads, targets, anchors,
+                                              strides):
+        b, gh, gw, _ = head.shape
+        p = head.reshape(b, gh, gw, 3, 5 + nc)
+        # decode boxes with the v5 parameterization
+        sig = jax.nn.sigmoid(p[..., 0:4])
+        gx = jnp.arange(gw, dtype=jnp.float32)[None, None, :, None]
+        gy = jnp.arange(gh, dtype=jnp.float32)[None, :, None, None]
+        anc_arr = jnp.asarray(anc, jnp.float32)
+        px = (sig[..., 0] * 2 - 0.5 + gx) * stride
+        py = (sig[..., 1] * 2 - 0.5 + gy) * stride
+        pw = jnp.square(sig[..., 2] * 2) * anc_arr[None, None, None, :, 0]
+        ph = jnp.square(sig[..., 3] * 2) * anc_arr[None, None, None, :, 1]
+        # box regression: normalized squared error (a CIoU-lite surrogate)
+        scale = jnp.float32(stride * 8)
+        box_err = (jnp.square((px - tgt[..., 0]) / scale)
+                   + jnp.square((py - tgt[..., 1]) / scale)
+                   + jnp.square((pw - tgt[..., 2]) / scale)
+                   + jnp.square((ph - tgt[..., 3]) / scale))
+        n_pos = jnp.maximum(jnp.sum(mask), 1.0)
+        box_loss = jnp.sum(box_err * mask) / n_pos
+        obj_loss = jnp.mean(_bce(p[..., 4], tgt[..., 4]))
+        cls_loss = (jnp.sum(_bce(p[..., 5:], tgt[..., 5:])
+                            * mask[..., None]) / (n_pos * nc))
+        total = total + box_w * box_loss + obj_w * obj_loss + cls_w * cls_loss
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(model: yolov5.YOLOv5, tx: optax.GradientTransformation,
+                    nc: int):
+    """Unsharded jitted train step: (variables, opt_state, imgs, targets) ->
+    (variables, opt_state, loss)."""
+
+    def loss_fn(params, batch_stats, imgs, targets):
+        heads = model.apply({"params": params, "batch_stats": batch_stats},
+                            imgs)
+        return yolo_loss(heads, targets, nc)
+
+    @jax.jit
+    def step(variables, opt_state, imgs, targets):
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch_stats, imgs,
+                                                  targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, "batch_stats": batch_stats}, opt_state, loss
+
+    return step
+
+
+def param_sharding_rules(params: Any, mesh: Mesh,
+                         axis: str = "mdl") -> Any:
+    """Shard conv kernels over output channels where divisible; replicate
+    the rest (tensor-parallel layout; GSPMD adds the collectives)."""
+    size = mesh.shape[axis]
+
+    def rule(leaf):
+        if leaf.ndim >= 1 and leaf.shape[-1] % size == 0 and leaf.ndim >= 2:
+            spec = (None,) * (leaf.ndim - 1) + (axis,)
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def make_sharded_train_step(model: yolov5.YOLOv5,
+                            tx: optax.GradientTransformation, nc: int,
+                            mesh: Mesh, dp_axis: str = "dp",
+                            mdl_axis: str = "mdl"):
+    """Train step jitted over a (dp, mdl) mesh: batch over dp, conv output
+    channels over mdl. Returns (step, shard_variables) where
+    shard_variables places a variable tree onto the mesh."""
+
+    def loss_fn(params, batch_stats, imgs, targets):
+        heads = model.apply({"params": params, "batch_stats": batch_stats},
+                            imgs)
+        return yolo_loss(heads, targets, nc)
+
+    data_sharding = NamedSharding(mesh, P(dp_axis))
+
+    def shard_variables(variables):
+        shardings = {
+            "params": param_sharding_rules(variables["params"], mesh,
+                                           mdl_axis),
+            "batch_stats": param_sharding_rules(variables["batch_stats"],
+                                                mesh, mdl_axis),
+        }
+        return jax.device_put(variables, shardings), shardings
+
+    @jax.jit
+    def step(variables, opt_state, imgs, targets):
+        params, batch_stats = variables["params"], variables["batch_stats"]
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch_stats, imgs,
+                                                  targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return {"params": params, "batch_stats": batch_stats}, opt_state, loss
+
+    def place_batch(imgs, targets):
+        imgs = jax.device_put(imgs, data_sharding)
+        targets = [(jax.device_put(t, data_sharding),
+                    jax.device_put(m, data_sharding)) for t, m in targets]
+        return imgs, targets
+
+    return step, shard_variables, place_batch
+
+
+# ---------------------------------------------------------------------------
+# Synthetic training data + fit loop
+# ---------------------------------------------------------------------------
+
+
+def synth_batch(rng: np.random.Generator, batch: int,
+                input_hw: tuple[int, int], nc: int):
+    """Random star-field images with drawn meteor streaks + labels."""
+    import cv2
+    h, w = input_hw
+    imgs = np.zeros((batch, h, w, 3), np.float32)
+    boxes_list, labels_list = [], []
+    for b in range(batch):
+        img = rng.normal(14, 4, (h, w)).astype(np.float32)
+        for _ in range(rng.integers(5, 20)):
+            x, y = rng.integers(0, w), rng.integers(0, h)
+            img[max(0, y - 1):y + 1, max(0, x - 1):x + 1] += rng.uniform(
+                30, 120)
+        boxes, labels = [], []
+        for _ in range(rng.integers(0, 3)):
+            x1, y1 = rng.integers(0, w - 40), rng.integers(0, h - 40)
+            dx, dy = rng.integers(15, 40), rng.integers(10, 40)
+            u8 = np.clip(img, 0, 255).astype(np.uint8)
+            cv2.line(u8, (int(x1), int(y1)), (int(x1 + dx), int(y1 + dy)),
+                     int(rng.uniform(180, 255)), 2)
+            img = u8.astype(np.float32)
+            boxes.append([x1, y1, x1 + dx, y1 + dy])
+            labels.append(0)  # METEOR
+        imgs[b] = np.repeat(np.clip(img, 0, 255)[..., None], 3,
+                            axis=-1) / 255.0
+        boxes_list.append(np.asarray(boxes, np.float32).reshape(-1, 4))
+        labels_list.append(np.asarray(labels, np.int32))
+    targets = build_dense_targets(boxes_list, labels_list, input_hw, nc)
+    return imgs, targets
+
+
+def fit_synthetic(steps: int = 200, batch: int = 8,
+                  input_hw: tuple[int, int] = (320, 320), nc: int = 8,
+                  lr: float = 1e-3, seed: int = 0, log_every: int = 20,
+                  variables=None, logger=None):
+    """Train YOLOv5s on synthetic meteor scenes; returns variables."""
+    model = yolov5.YOLOv5(nc=nc)
+    if variables is None:
+        _, variables = yolov5.init_params(nc=nc, input_hw=input_hw,
+                                          seed=seed)
+    tx = optax.adam(lr)
+    opt_state = tx.init(variables["params"])
+    step = make_train_step(model, tx, nc)
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        imgs, targets = synth_batch(rng, batch, input_hw, nc)
+        variables, opt_state, loss = step(variables, opt_state,
+                                          jnp.asarray(imgs), targets)
+        if logger is not None and i % log_every == 0:
+            logger.info(f"train step {i}: loss={float(loss):.4f}")
+    return variables

@@ -139,13 +139,15 @@ def _fused_pallas(diff: jax.Array, thr: jax.Array) -> jax.Array:
 
 
 def _use_pallas() -> bool:
+    """Opt-in (METDETPY_TPU_USE_PALLAS=1). Measured on v5e: the Pallas
+    kernel is bit-exact but ~1.8x slower than the XLA graph for this op --
+    Mosaic lacks 8-bit vector min/max so the kernel pays for i32 lanes,
+    while XLA fuses the same chain on native uint8. Kept as the foundation
+    for wider fusions (e.g. folding the window-diff producer in)."""
     flag = os.environ.get("METDETPY_TPU_USE_PALLAS")
     if flag is not None:
         return flag not in ("0", "false", "off")
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    return False
 
 
 def fused_median_binarize_close(diff: jax.Array,
