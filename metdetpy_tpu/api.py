@@ -216,11 +216,13 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     block_frames = getattr(video_loader, "block_frames", 64)
     use_async = hasattr(detector, "process_block_async")
     pipeline_depth = 3
-    executor = ThreadPoolExecutor(max_workers=2) if use_async else None
+    executor = ThreadPoolExecutor(max_workers=3) if use_async else None
     inflight: "collections.deque" = collections.deque()
 
-    def dispatch(raw_block):
-        nonlocal use_async
+    def upload(raw_block):
+        """Pad + host->device transfer. Runs in a worker thread: on
+        tunneled backends the transfer blocks on a network round trip, so
+        uploading ahead overlaps it with the previous block's compute."""
         n_real = raw_block.shape[0]
         if n_real < block_frames:
             pad = np.repeat(raw_block[-1:], block_frames - n_real, axis=0)
@@ -228,8 +230,18 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         else:
             blk = raw_block
         if use_async:
+            import jax
+            return jax.device_put(blk), blk, n_real
+        return blk, blk, n_real
+
+    def dispatch(upload_fut):
+        nonlocal use_async
+        dev_block, blk, n_real = (upload_fut.result()
+                                  if hasattr(upload_fut, "result")
+                                  else upload_fut)
+        if use_async:
             try:
-                handle = detector.process_block_async(blk)
+                handle = detector.process_block_async(dev_block)
             except NotImplementedError:
                 use_async = False
             else:
@@ -292,18 +304,27 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         return True
 
     stopped = False
+    uploads: "collections.deque" = collections.deque()
     try:
         while not stopped:
             with timer.stage("decode_wait"):
                 raw_block = video_loader.pop_block()
             if raw_block is None:
                 break
-            with timer.stage("dispatch"):
-                inflight.append(dispatch(raw_block))
+            if executor is not None:
+                uploads.append(executor.submit(upload, raw_block))
+            else:
+                uploads.append(upload(raw_block))
+            while len(uploads) >= 2:
+                with timer.stage("dispatch"):
+                    inflight.append(dispatch(uploads.popleft()))
             while len(inflight) >= pipeline_depth:
                 if consume(inflight.popleft()) is False:
                     stopped = True
                     break
+        while uploads and not stopped:
+            with timer.stage("dispatch"):
+                inflight.append(dispatch(uploads.popleft()))
         while inflight and not stopped:
             if consume(inflight.popleft()) is False:
                 break

@@ -448,9 +448,13 @@ class BlockVideoLoader(VanillaVideoLoader):
     stage its stacked images without a second decode of the video.
     """
 
-    def __init__(self, *args: Any, block_frames: int = DEFAULT_BLOCK_FRAMES,
+    def __init__(self, *args: Any, block_frames: Optional[int] = None,
                  maxsize: int = 4, keep_color_stacks: bool = False,
                  **kwargs: Any) -> None:
+        import os
+        if block_frames is None:
+            block_frames = int(os.environ.get("METDETPY_TPU_BLOCK_FRAMES",
+                                              DEFAULT_BLOCK_FRAMES))
         self.block_frames = block_frames
         self.block_queue: "queue.Queue" = queue.Queue(maxsize=maxsize)
         self.keep_color_stacks = keep_color_stacks
@@ -471,62 +475,90 @@ class BlockVideoLoader(VanillaVideoLoader):
         self.thread = threading.Thread(target=self._blockloop, daemon=True)
         self.thread.start()
 
+    PREPROC_CHUNK = 16  # raw frames preprocessed in parallel per batch
+
+    def _read_raw_chunk(self, want: int) -> list:
+        """Sequentially decode up to `want` raw frames (decoder state is
+        not thread-safe; only the preprocess fans out)."""
+        out = []
+        while len(out) < want:
+            if self.read_stopped:
+                break
+            self.status, raw = self.video.read()
+            if not self.status or raw is None:
+                if not self.continue_on_err:
+                    self.read_stopped = True
+                    break
+                continue
+            out.append(raw)
+        return out
+
     def _blockloop(self):
-        w, h = self.runtime_size
+        from concurrent.futures import ThreadPoolExecutor
         e = self.exp_frame
-        n_merged_total = self.iterations // e
-        block: list[np.ndarray] = []
+        w, h = self.runtime_size
+        n_raw_total = (self.iterations // e) * e
+        # preallocated block buffer: frames land directly in their final
+        # slot (no per-frame allocation, no np.stack copy)
+        block = np.empty((self.block_frames, h, w), np.uint8)
+        n_in_block = 0
         color_acc: Optional[np.ndarray] = None
         merged_idx = 0
+        pending_gray: list[np.ndarray] = []
+        pending_color: list[np.ndarray] = []
+        pool = ThreadPoolExecutor(max_workers=4)
         try:
-            for m in range(n_merged_total):
-                if self.read_stopped:
+            raw_left = n_raw_total
+            while raw_left > 0 and not self.read_stopped:
+                chunk = self._read_raw_chunk(min(self.PREPROC_CHUNK,
+                                                 raw_left))
+                if not chunk:
                     break
-                acc: Optional[np.ndarray] = None
-                color: Optional[np.ndarray] = None
-                ok_any = False
-                for i in range(e):
-                    self.status, raw = self.video.read()
-                    if not self.status or raw is None:
-                        self.logger.warning(
-                            f"Load frame failed at "
-                            f"{self.start_frame + m * e + i}")
-                        if not self.continue_on_err:
-                            self.read_stopped = True
-                            break
-                        continue
-                    ok_any = True
+                raw_left -= len(chunk)
+                # cv2 resize/cvtColor release the GIL: fan the per-frame
+                # preprocess out to the pool
+                if self.keep_color_stacks:
+                    results = list(pool.map(
+                        lambda r: self.preprocess(r, keep_color=True),
+                        chunk))
+                    pending_gray.extend(g for g, _ in results)
+                    pending_color.extend(c for _, c in results)
+                else:
+                    pending_gray.extend(pool.map(self.preprocess, chunk))
+                # merge complete exposure groups into the block buffer
+                while len(pending_gray) >= e:
+                    group, pending_gray = pending_gray[:e], pending_gray[e:]
+                    slot = block[n_in_block]
+                    np.copyto(slot, group[0])
+                    for f in group[1:]:
+                        _u8_max_inplace(slot, f)
+                    n_in_block += 1
                     if self.keep_color_stacks:
-                        frame, cframe = self.preprocess(raw, keep_color=True)
-                        if color is None:
-                            color = np.ascontiguousarray(cframe)
+                        cgroup = pending_color[:e]
+                        pending_color = pending_color[e:]
+                        color = np.ascontiguousarray(cgroup[0])
+                        for f in cgroup[1:]:
+                            _u8_max_inplace(color, f)
+                        if color_acc is None:
+                            color_acc = color
                         else:
-                            _u8_max_inplace(color, cframe)
-                    else:
-                        frame = self.preprocess(raw)
-                    if acc is None:
-                        acc = np.ascontiguousarray(frame)
-                    else:
-                        _u8_max_inplace(acc, frame)
-                if not ok_any:
-                    break
-                block.append(acc)
-                if self.keep_color_stacks and color is not None:
-                    color_acc = color if color_acc is None else np.maximum(
-                        color_acc, color)
-                    if (merged_idx + 1) % RECHECK_CHUNK == 0:
-                        self.color_stacks[merged_idx // RECHECK_CHUNK] = \
-                            color_acc
-                        color_acc = None
-                merged_idx += 1
-                if len(block) == self.block_frames:
-                    self.block_queue.put(np.stack(block), timeout=PUT_TIMEOUT)
-                    block = []
-            if block:
-                self.block_queue.put(np.stack(block), timeout=PUT_TIMEOUT)
+                            _u8_max_inplace(color_acc, color)
+                        if (merged_idx + 1) % RECHECK_CHUNK == 0:
+                            self.color_stacks[merged_idx // RECHECK_CHUNK] \
+                                = color_acc
+                            color_acc = None
+                    merged_idx += 1
+                    if n_in_block == self.block_frames:
+                        self.block_queue.put(block, timeout=PUT_TIMEOUT)
+                        block = np.empty((self.block_frames, h, w), np.uint8)
+                        n_in_block = 0
+            if n_in_block:
+                self.block_queue.put(block[:n_in_block].copy(),
+                                     timeout=PUT_TIMEOUT)
             if self.keep_color_stacks and color_acc is not None:
                 self.color_stacks[merged_idx // RECHECK_CHUNK] = color_acc
         finally:
+            pool.shutdown(wait=False)
             self.read_stopped = True
             try:
                 self.block_queue.put(None, timeout=PUT_TIMEOUT)
