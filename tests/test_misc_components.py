@@ -1,0 +1,105 @@
+"""Coverage for remaining components: ClassicDetector end-to-end, visu
+record rendering, detect_multi_stream convenience API, native kernels."""
+
+import numpy as np
+import pytest
+
+from metdetpy_tpu.structs import MainDetectCfg
+from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+from metdetpy_tpu.utils import relative2abs_path
+
+W, H, FPS = 192, 108, 25.0
+
+
+def test_classic_detector_e2e():
+    import os
+    os.environ.setdefault("METDETPY_TPU_MAX_POINTS", "2048")
+    from metdetpy_tpu.api import detect_video
+    # classic-friendly scene: clean sky, and slow enough that the
+    # normalized speed stays inside the preset trapezoid (<=42 %/s)
+    m = SynthMeteor(start_sec=0.8, end_sec=2.4,
+                    pt1=(int(W * .75), int(H * .2)),
+                    pt2=(int(W * .3), int(H * .65)), brightness=250,
+                    decay_sec=0.15)
+    frames = generate_meteor_video(width=W, height=H, fps=FPS,
+                                   duration_sec=3.2, meteors=[m],
+                                   n_stars=4, noise_sigma=0.7)
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.detector.name = "ClassicDetector"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(frames, None, cfg, work_mode="backend")
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1
+
+
+def test_visu_renderers_draw_on_frame():
+    from metdetpy_tpu.visu import (DotColorPair, DrawCircleVisu,
+                                   DrawRectVisu, ImgVisuAttrs,
+                                   SquareColorPair, TextColorPair, TextVisu)
+    base = np.zeros((80, 120, 3), np.uint8)
+    scaler = (1.0, 1.0)
+    rect = DrawRectVisu("r", pair_list=[
+        SquareColorPair(dot_pair=([10, 10], [60, 50]), color="green")],
+        thickness=2)
+    out = rect.render(base.copy(), scaler)
+    assert out[10, 30].tolist() == [0, 255, 0]
+    circ = DrawCircleVisu("c", dot_list=[DotColorPair(dot=(30, 30),
+                                                      color="red")],
+                          radius=3, thickness=-1)
+    out = circ.render(base.copy(), scaler)
+    assert out[30, 30].tolist() == [0, 0, 255]
+    txt = TextVisu("t", text_list=[TextColorPair("hi", position=[5, 20])],
+                   color="white")
+    out = txt.render(base.copy(), scaler)
+    assert out.sum() > 0
+    overlay = ImgVisuAttrs("o", weight=0.5,
+                           img=np.full((80, 120), 200, np.uint8),
+                           color="yellow")
+    out = overlay.render(base.copy(), scaler)
+    assert out.sum() > 0
+
+
+def test_detect_multi_stream_convenience():
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.parallel.mesh import build_mesh
+    from metdetpy_tpu.parallel.multistream import detect_multi_stream
+    from metdetpy_tpu.structs import RuntimeParams
+    streams = []
+    for s in range(4):
+        meteors = ([SynthMeteor(0.3, 2.3, (90, 30), (40, 70))]
+                   if s == 1 else [SynthMeteor(99, 100, (0, 0), (1, 1))])
+        streams.append(generate_meteor_video(
+            width=128, height=96, fps=FPS, duration_sec=2.56,
+            meteors=meteors, n_stars=15, noise_sigma=2.5, seed=10 + s))
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.detector.window_sec = 0.4
+    cfg.collector.recheck_cfg.switch = False
+    rt = RuntimeParams(fps=FPS, exp_frame=1, eq_fps=FPS, eq_int_fps=25,
+                       exp_time=1 / FPS, runtime_size=[128, 96],
+                       raw_size=[128, 96],
+                       positive_category_list=["METEOR", "RED_SPRITE"])
+    mesh = build_mesh(4, axis_name="stream")
+    per_stream = detect_multi_stream(streams, cfg, rt, BaseMetLog(),
+                                     mesh=mesh, block_frames=64)
+    assert len(per_stream) == 4
+    meteor_streams = [i for i, recs in enumerate(per_stream)
+                      if any(t.category == "METEOR"
+                             for r in recs for t in r.target)]
+    assert meteor_streams == [1], meteor_streams
+
+
+def test_native_frame_ring_and_kernels(rng):
+    from metdetpy_tpu.native import FrameRing, u8_block_max
+    ring = FrameRing(4, (16, 16))
+    assert ring.put(np.full((16, 16), 7, np.uint8))
+    got = ring.get()
+    assert got is not None and got[0, 0] == 7
+    frames = rng.integers(0, 255, (5, 16, 16), np.uint8)
+    np.testing.assert_array_equal(u8_block_max(frames), frames.max(axis=0))
