@@ -19,7 +19,7 @@ from .detectors.base import BaseDetector
 from .detectors.m3det import DiffAreaGuidingDetecor, LineDetector, M3Detector
 from .io.videoloader import BlockVideoLoader
 from .log import get_default_logger, set_default_logger
-from .structs import (MDRF, ClipCfg, MainDetectCfg, ModelCfg, RuntimeParams)
+from .structs import MDRF, ClipCfg, MainDetectCfg, RuntimeParams
 from .utils import (LIVE_MODE_SPEED_CTRL_CONST, VERSION, frame2time, frame2ts,
                     get_clip_config_path, get_num_class)
 from .visu import OpenCVMetVisu, TextColorPair, TextVisu

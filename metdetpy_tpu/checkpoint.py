@@ -16,7 +16,7 @@ Format: one .npz (arrays) + embedded json (structured state).
 from __future__ import annotations
 
 import json
-from typing import Any, Optional
+from typing import Any
 
 import numpy as np
 

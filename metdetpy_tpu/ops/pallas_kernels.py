@@ -22,7 +22,6 @@ median uses replicate borders; dilate treats out-of-image as 0 and erode as
 
 from __future__ import annotations
 
-import functools
 import os
 
 import jax

@@ -13,7 +13,7 @@ itself is the device rolling max in ops.windows.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Any, Optional
 
 import cv2
 import numpy as np

@@ -11,7 +11,6 @@ from __future__ import annotations
 import datetime
 import os
 import os.path as path
-import sys
 import warnings
 from typing import Any, Callable, Optional, Sequence, Union
 
