@@ -248,52 +248,54 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
 
     small_cap = min(1024, max_points)
 
-    def per_frame(args):
-        img01, gap = args
-        flat = img01.reshape(-1)
-        npix = jnp.sum(flat, dtype=jnp.int32)
+    def frame_votes(flat, cap: int):
+        idx, valid = _compact_indices(flat, cap)
+        idx = jnp.where(valid, idx, 0)
+        ys = (idx // w).astype(jnp.float32)
+        xs = (idx % w).astype(jnp.float32)
+        return _vote(xs, ys, valid, n_theta, n_rho, rho_offset, theta_chunk)
 
-        def vote_path(cap: int):
-            def fn(_):
-                idx, valid = _compact_indices(flat, cap)
-                idx = jnp.where(valid, idx, 0)
-                ys = (idx // w).astype(jnp.float32)
-                xs = (idx % w).astype(jnp.float32)
-                return _vote(xs, ys, valid, n_theta, n_rho, rho_offset,
-                             theta_chunk)
-            return fn
-
-        # runtime sparse/dense dispatch: most frames have few active pixels
-        # after adaptive thresholding, so the cheap small-capacity vote path
-        # handles them and the full-capacity path runs only on busy frames
-        if max_points > small_cap:
-            votes = lax.cond(npix <= small_cap, vote_path(small_cap),
-                             vote_path(max_points), None)
-        else:
-            votes = vote_path(max_points)(None)
+    def peaks_and_extract(img01, votes, npix, gap):
         th_i, rh_i, ok = _find_peaks(votes, threshold, max_peaks)
         overflow = npix > max_points
         ok = ok & jnp.logical_not(overflow) & (npix > 0)
         lines, line_ok = _extract_segments(img01, th_i, rh_i, ok, rho_offset,
                                            min_len, gap, n_steps)
-        return lines, line_ok, npix, overflow
+        return lines, line_ok, overflow
 
-    # frames processed in vmapped sub-batches: amortizes per-iteration
-    # overhead of the sequential map while bounding peak memory
+    # frames run in vmapped sub-batches inside a sequential map: the vmap
+    # amortizes per-iteration overhead, and the sparse/dense vote dispatch
+    # happens at CHUNK granularity with a scalar predicate so lax.cond
+    # stays a real branch (a per-frame cond under vmap would execute both
+    # vote paths everywhere)
     fc = frame_chunk
     while t_block % fc != 0:
         fc //= 2
-    if fc > 1:
-        d4 = dst01.reshape(t_block // fc, fc, h, w)
-        g2 = max_gap.reshape(t_block // fc, fc)
-        lines, valid, npix, overflow = lax.map(
-            lambda args: jax.vmap(lambda a, b: per_frame((a, b)))(*args),
-            (d4, g2))
-        reshape = lambda x: x.reshape((t_block,) + x.shape[2:])
-        return HoughResult(reshape(lines), reshape(valid), reshape(npix),
-                           reshape(overflow))
-    lines, valid, npix, overflow = lax.map(per_frame, (dst01, max_gap))
-    return HoughResult(lines, valid, npix, overflow)
+
+    def chunk_fn(args):
+        imgs, gaps = args                      # [fc, H, W], [fc]
+        flats = imgs.reshape(fc, -1)
+        npix = jnp.sum(flats, axis=1, dtype=jnp.int32)
+        if max_points > small_cap:
+            votes = lax.cond(
+                jnp.max(npix) <= small_cap,
+                lambda _: jax.vmap(lambda f: frame_votes(f, small_cap))(
+                    flats),
+                lambda _: jax.vmap(lambda f: frame_votes(f, max_points))(
+                    flats),
+                None)
+        else:
+            votes = jax.vmap(lambda f: frame_votes(f, max_points))(flats)
+        lines, line_ok, overflow = jax.vmap(peaks_and_extract)(
+            imgs, votes, npix, gaps)
+        return lines, line_ok, npix, overflow
+
+    d4 = dst01.reshape(t_block // fc, fc, h, w)
+    g2 = max_gap.reshape(t_block // fc, fc)
+    lines, valid, npix, overflow = lax.map(chunk_fn, (d4, g2))
+    reshape = lambda x: x.reshape((t_block,) + x.shape[2:])
+    return HoughResult(reshape(lines), reshape(valid), reshape(npix),
+                       reshape(overflow))
 
 
 def hough_lines_single(dst: jax.Array, max_gap: float, *, threshold: int,

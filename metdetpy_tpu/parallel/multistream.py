@@ -74,12 +74,13 @@ class MultiStreamM3Detector:
             max_peaks=max_peaks)
 
         def per_stream(gray, sub, dy, ema, frames, timer0):
-            ema_local = jax.tree.map(lambda x: x[0], ema)
-            packed, _dst, ng, ns, nd, ne = step(gray[0], sub[0], dy[0],
-                                                ema_local, frames[0],
-                                                timer0[0])
-            ne_stacked = jax.tree.map(lambda x: x[None], ne)
-            return packed[None], ng[None], ns[None], nd[None], ne_stacked
+            # vmap over the local stream axis: with a mesh smaller than the
+            # stream count each device carries several streams (on a full
+            # mesh the local axis has size 1)
+            def one(g, su, d, e, f, t):
+                packed, _dst, ng, ns, nd, ne = step(g, su, d, e, f, t)
+                return packed, ng, ns, nd, ne
+            return jax.vmap(one)(gray, sub, dy, ema, frames, timer0)
 
         spec = P("stream")
         self._step = jax.jit(shard_map(

@@ -48,3 +48,21 @@ def test_folder_mode(img_dir, tmp_path, monkeypatch):
     data = json.loads(out.read_text())
     assert data["type"] == "image-prediction"
     assert data["basic_info"]["image_folder"] == str(img_dir)
+
+
+def test_timelapse_video_mode(tmp_path, monkeypatch):
+    from metdetpy_tpu.synth import generate_meteor_video, write_video, SynthMeteor
+    frames = generate_meteor_video(width=128, height=96, fps=25.0,
+                                   duration_sec=1.0,
+                                   meteors=[SynthMeteor(99, 100, (0, 0),
+                                                        (1, 1))],
+                                   n_stars=10, color=True)
+    vid = tmp_path / "tl.avi"
+    write_video(frames, str(vid), fps=25.0)
+    out = tmp_path / "res.json"
+    _run(["MetDetPhoto.py", str(vid), "--scale", "0", "--exclude-noise",
+          "--save-path", str(out)], monkeypatch)
+    data = json.loads(out.read_text())
+    assert data["type"] == "timelapse-prediction"
+    for rec in data["results"]:
+        assert "num_frame" in rec
