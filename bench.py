@@ -47,57 +47,59 @@ def run(frames, cfg, work_mode="backend"):
 
 
 def bench_multistream():
-    """BASELINE config #5: concurrent camera feeds through one sharded
-    pipeline (one chip here -> the streams batch on it; on a v5e-4 the same
-    code shards one stream per chip). Streams are synthesized at the
-    analysis resolution; the metric is aggregate detection frames/sec."""
-    import jax
+    """BASELINE config #5: concurrent camera feeds on one chip, one
+    detector per stream with pipelined dispatch/fetch (the blocks of all
+    streams queue on the device and the fixed host/tunnel costs amortize
+    across streams). On a multi-chip mesh the shard_map variant
+    (parallel/multistream.py) places one stream per chip instead. Streams
+    are synthesized at the analysis resolution; the metric is aggregate
+    detection frames/sec."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from metdetpy_tpu.detectors.m3det import M3Detector
     from metdetpy_tpu.log import BaseMetLog
-    from metdetpy_tpu.parallel.mesh import build_mesh
-    from metdetpy_tpu.parallel.multistream import MultiStreamM3Detector
     from metdetpy_tpu.structs import MainDetectCfg
     from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
     from metdetpy_tpu.utils import get_num_class, relative2abs_path
 
     n_streams = int(os.environ.get("BENCH_STREAMS", 8))
     w, h, fps = 960, 540, 25.0
-    n_seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 12.0))
     streams = [generate_meteor_video(
         width=w, height=h, fps=fps, duration_sec=n_seconds,
-        meteors=[SynthMeteor(2.4, 4.4, (w // 2, h // 4),
-                             (w // 3, h // 2))],
+        meteors=[SynthMeteor(2.4, 4.4, (w // 2, h // 4), (w // 3, h // 2))],
         n_stars=100, noise_sigma=4.0, seed=s) for s in range(n_streams)]
     cfg = MainDetectCfg.from_json_file(
         relative2abs_path("./config/m3det_normal.json"))
-    mesh = build_mesh(min(len(jax.devices()), n_streams),
-                      axis_name="stream")
-    det = MultiStreamM3Detector(
-        n_streams, cfg.detector.window_sec, fps,
-        np.ones((h, w), np.uint8), num_cls=get_num_class(),
-        cfg=cfg.detector.cfg, logger=BaseMetLog(), mesh=mesh)
     block_frames = 64
     n_frames = min(s.shape[0] for s in streams) // block_frames \
         * block_frames
-    # warmup
-    warm = np.stack([s[:block_frames] for s in streams])
-    det.process_blocks(warm)
+    detectors = [M3Detector(window_sec=cfg.detector.window_sec, fps=fps,
+                            mask=np.ones((h, w), np.uint8),
+                            num_cls=get_num_class(), cfg=cfg.detector.cfg,
+                            logger=BaseMetLog())
+                 for _ in range(n_streams)]
+    detectors[0].process_block(streams[0][:block_frames])  # compile warmup
 
     passes = int(os.environ.get("BENCH_PASSES", 3))
-    best = None
+    best = 0.0
+    ex = ThreadPoolExecutor(max_workers=4)
     for _ in range(passes):
         t0 = time.time()
-        pending = None
+        futures: "deque" = deque()
         for pos in range(0, n_frames, block_frames):
-            blocks = np.stack([s[pos:pos + block_frames] for s in streams])
-            handle = det.process_blocks_async(blocks)
-            if pending is not None:
-                det.collect(pending)
-            pending = handle
-        det.collect(pending)
+            for det, stream in zip(detectors, streams):
+                handle = det.process_block_async(
+                    stream[pos:pos + block_frames])
+                futures.append(ex.submit(det.collect, handle))
+                while len(futures) >= 2 * n_streams:
+                    futures.popleft().result()
+        while futures:
+            futures.popleft().result()
         dt = time.time() - t0
         fps_agg = n_streams * n_frames / dt
         sys.stderr.write(f"[bench:multistream] pass {fps_agg:.1f} fps\n")
-        best = max(best or 0, fps_agg)
+        best = max(best, fps_agg)
     print(json.dumps({
         "metric": f"{n_streams}x540p_multistream_agg_fps_per_chip",
         "value": round(best, 2),
