@@ -125,3 +125,63 @@ def test_evaluate_metric_self_comparison(synth_mp4, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "'cross_ratio(A n B / A u B)': 1.0" in out
     assert (tmp_path / "mismatch.json").exists()
+
+
+def test_cliptoolkit_mdrf_input(synth_mp4, tmp_path):
+    """Feed a detection-result MDRF json as the only input (input style 3:
+    reference ClipToolkit.py:181-219)."""
+    from ClipToolkit import main
+    from metdetpy_tpu.api import detect_video
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(synth_mp4, None, cfg, work_mode="backend")
+    assert len(mdrf.results) >= 1
+    result_path = tmp_path / "run.json"
+    result_path.write_text(json.dumps(mdrf.to_dict()))
+    outdir = tmp_path / "clips"
+    _run_cli(main, ["ClipToolkit.py", str(result_path), "--mode", "image",
+                    "--save-path", str(outdir)])
+    produced = list(outdir.glob("*.jpg"))
+    assert len(produced) >= 1
+
+
+def test_evaluate_run_path_with_performance(synth_mp4, tmp_path):
+    """evaluate.py without --load runs detection under the psutil sampler
+    and saves an MDRF with the performance block."""
+    import evaluate as ev
+    from metdetpy_tpu.utils import frame2ts
+    anno = {
+        "version": "anno",
+        "basic_info": {
+            "loader": "none", "video": synth_mp4, "mask": None,
+            "start_time": 0, "end_time": 3000, "resolution": [W, H],
+            "runtime_resolution": [W, H], "exp_time": 1 / FPS,
+            "total_frames": 75, "fps": FPS,
+        },
+        "config": None, "type": "annotation", "anno_size": [W, H],
+        "results": [],
+    }
+    anno_path = tmp_path / "anno.json"
+    anno_path.write_text(json.dumps(anno))
+    cfg_path = tmp_path / "cfg.json"
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    cfg_path.write_text(json.dumps(cfg.to_dict()))
+    out = tmp_path / "result.json"
+    _run_cli(ev.main, ["evaluate.py", str(anno_path), "--cfg", str(cfg_path),
+                       "-S", str(out)])
+    data = json.loads(out.read_text())
+    assert "performance" in data and data["performance"]["tot_time"] > 0
+    assert "cpu_core" in data["performance"]
