@@ -22,11 +22,16 @@ def init_model(cfg: ModelCfg, logger: BaseMetLog):
         raise Exception(f"No model named {cfg.name}.")
     weight_path = (cfg.weight_path if path.isabs(cfg.weight_path)
                    else relative2abs_path(cfg.weight_path))
+    kwargs = {}
+    if cfg.input_hw:
+        h, w = cfg.input_hw.lower().split("x")
+        kwargs["input_hw"] = (int(h), int(w))
     return available[cfg.name](
         weight_path=weight_path, dtype=cfg.dtype, nms=cfg.nms,
         warmup=cfg.warmup, pos_thre=cfg.pos_thre, nms_thre=cfg.nms_thre,
         multiscale_pred=cfg.multiscale_pred,
-        multiscale_partition=cfg.multiscale_partition, logger=logger)
+        multiscale_partition=cfg.multiscale_partition, logger=logger,
+        **kwargs)
 
 
 def __getattr__(name: str):

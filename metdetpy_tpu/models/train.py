@@ -217,7 +217,7 @@ def synth_batch(rng: np.random.Generator, batch: int,
             dx, dy = rng.integers(15, 40), rng.integers(10, 40)
             u8 = np.clip(img, 0, 255).astype(np.uint8)
             cv2.line(u8, (int(x1), int(y1)), (int(x1 + dx), int(y1 + dy)),
-                     int(rng.uniform(180, 255)), 2)
+                     int(rng.uniform(180, 255)), int(rng.integers(1, 4)))
             img = u8.astype(np.float32)
             boxes.append([x1, y1, x1 + dx, y1 + dy])
             labels.append(0)  # METEOR
@@ -233,19 +233,37 @@ def fit_synthetic(steps: int = 200, batch: int = 8,
                   input_hw: tuple[int, int] = (320, 320), nc: int = 8,
                   lr: float = 1e-3, seed: int = 0, log_every: int = 20,
                   variables=None, logger=None):
-    """Train YOLOv5s on synthetic meteor scenes; returns variables."""
+    """Train YOLOv5s on synthetic meteor scenes; returns the best-loss
+    variables (global-norm clipping + cosine decay guard against the
+    predict-nothing collapse that a late loss spike can cause)."""
     model = yolov5.YOLOv5(nc=nc)
     if variables is None:
         _, variables = yolov5.init_params(nc=nc, input_hw=input_hw,
                                           seed=seed)
-    tx = optax.adam(lr)
+    schedule = optax.cosine_decay_schedule(lr, steps, alpha=0.05)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(schedule))
     opt_state = tx.init(variables["params"])
     step = make_train_step(model, tx, nc)
     rng = np.random.default_rng(seed)
+    loss_ema, best_ema = None, None
+    best_variables = variables
     for i in range(steps):
         imgs, targets = synth_batch(rng, batch, input_hw, nc)
         variables, opt_state, loss = step(variables, opt_state,
                                           jnp.asarray(imgs), targets)
+        loss_f = float(loss)
+        loss_ema = loss_f if loss_ema is None else (0.9 * loss_ema
+                                                    + 0.1 * loss_f)
+        if i >= steps // 4 and i % 25 == 0 and (best_ema is None
+                                                or loss_ema < best_ema):
+            best_ema = loss_ema
+            best_variables = jax.device_get(variables)
         if logger is not None and i % log_every == 0:
-            logger.info(f"train step {i}: loss={float(loss):.4f}")
+            logger.info(f"train step {i}: loss={loss_f:.4f} "
+                        f"(ema {loss_ema:.4f})")
+    if best_ema is not None and loss_ema > best_ema * 1.5:
+        if logger is not None:
+            logger.info(f"restoring best checkpoint (ema {best_ema:.4f} vs "
+                        f"final {loss_ema:.4f})")
+        return best_variables
     return variables

@@ -381,6 +381,10 @@ class ModelCfg(DictAble):
     multiscale_pred: int
     multiscale_partition: int
     providers_key: Optional[str] = "default"
+    # model input resolution "HxW"; None keeps the runtime default. The
+    # reference bakes the shape into its ONNX file; flax weights are
+    # fully-convolutional so the run size is a config choice.
+    input_hw: Optional[str] = None
 
 
 @dataclasses.dataclass
