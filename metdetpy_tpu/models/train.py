@@ -198,29 +198,48 @@ def make_sharded_train_step(model: yolov5.YOLOv5,
 # ---------------------------------------------------------------------------
 
 
+def _draw_streak(img: np.ndarray, x1, y1, x2, y2, amp, sigma) -> None:
+    """Gaussian streak -- matches the appearance of a max-stacked meteor
+    from the synthetic video renderer (synth._draw_gaussian_dot trail)."""
+    from ..synth import _draw_gaussian_dot
+    steps = max(int(np.hypot(x2 - x1, y2 - y1)) * 2, 2)
+    for k in range(steps):
+        a = k / (steps - 1)
+        # slight brightness falloff along the trail
+        _draw_gaussian_dot(img, x1 + (x2 - x1) * a, y1 + (y2 - y1) * a,
+                           amp * (1.0 - 0.3 * a), sigma)
+
+
 def synth_batch(rng: np.random.Generator, batch: int,
                 input_hw: tuple[int, int], nc: int):
-    """Random star-field images with drawn meteor streaks + labels."""
-    import cv2
+    """Random star-field images with gaussian meteor streaks + labels
+    (same renderer family as synth.generate_meteor_video, so trained
+    weights transfer to stacks of the synthetic fixtures)."""
+    from ..synth import _draw_gaussian_dot
     h, w = input_hw
     imgs = np.zeros((batch, h, w, 3), np.float32)
     boxes_list, labels_list = [], []
     for b in range(batch):
-        img = rng.normal(14, 4, (h, w)).astype(np.float32)
-        for _ in range(rng.integers(5, 20)):
-            x, y = rng.integers(0, w), rng.integers(0, h)
-            img[max(0, y - 1):y + 1, max(0, x - 1):x + 1] += rng.uniform(
-                30, 120)
+        img = np.full((h, w), 12.0, np.float32)
+        for _ in range(rng.integers(5, 25)):
+            _draw_gaussian_dot(img, rng.uniform(0, w), rng.uniform(0, h),
+                               rng.uniform(25, 140), rng.uniform(0.7, 1.6))
         boxes, labels = [], []
         for _ in range(rng.integers(0, 3)):
-            x1, y1 = rng.integers(0, w - 40), rng.integers(0, h - 40)
-            dx, dy = rng.integers(15, 40), rng.integers(10, 40)
-            u8 = np.clip(img, 0, 255).astype(np.uint8)
-            cv2.line(u8, (int(x1), int(y1)), (int(x1 + dx), int(y1 + dy)),
-                     int(rng.uniform(180, 255)), int(rng.integers(1, 4)))
-            img = u8.astype(np.float32)
-            boxes.append([x1, y1, x1 + dx, y1 + dy])
+            length = rng.uniform(15, 110)
+            ang = rng.uniform(0, 2 * np.pi)
+            x1 = rng.uniform(5, w - 5)
+            y1 = rng.uniform(5, h - 5)
+            x2 = np.clip(x1 + length * np.cos(ang), 0, w - 1)
+            y2 = np.clip(y1 + length * np.sin(ang), 0, h - 1)
+            if max(abs(x2 - x1), abs(y2 - y1)) < 10:
+                continue
+            _draw_streak(img, x1, y1, x2, y2, rng.uniform(120, 240),
+                         rng.uniform(1.0, 2.2))
+            boxes.append([min(x1, x2), min(y1, y2), max(x1, x2),
+                          max(y1, y2)])
             labels.append(0)  # METEOR
+        img = img + rng.normal(0, rng.uniform(2, 5), (h, w))
         imgs[b] = np.repeat(np.clip(img, 0, 255)[..., None], 3,
                             axis=-1) / 255.0
         boxes_list.append(np.asarray(boxes, np.float32).reshape(-1, 4))

@@ -148,7 +148,10 @@ class YOLOModel:
         result_pos = boxes.astype(int)
         # sqrt score correction (reference MetLib/model.py:293-294)
         result_cls = np.sqrt(np.einsum("ab,a->ab", pred[:, 5:], pred[:, 4]))
-        return result_pos, result_cls
+        # drop degenerate boxes (decoded w/h rounds below one pixel)
+        ok = ((result_pos[:, 2] - result_pos[:, 0] >= 1)
+              & (result_pos[:, 3] - result_pos[:, 1] >= 1))
+        return result_pos[ok], result_cls[ok]
 
     def _forward_tiles(self, x: np.ndarray, tiles: list[tuple[int, int, int,
                                                               int]]):

@@ -88,8 +88,8 @@ def generate_meteor_video(width: int = 960, height: int = 540,
                                        m.width * 0.8)
         frame = np.maximum(frame, glow)
         # afterglow decay
-        decay = math.exp(-1.0 / (fps * meteors[0].decay_sec))
-        glow *= decay
+        if meteors:
+            glow *= math.exp(-1.0 / (fps * meteors[0].decay_sec))
         noise = rng.normal(0, noise_sigma, (height, width)).astype(np.float32)
         frames[t] = np.clip(frame + noise, 0, 255).astype(np.uint8)
     if color:
