@@ -222,8 +222,10 @@ def synth_batch(rng: np.random.Generator, batch: int,
     for b in range(batch):
         img = np.full((h, w), 12.0, np.float32)
         for _ in range(rng.integers(5, 25)):
+            # stars are hard negatives: include saturated ones so bright
+            # dots in max-stacks don't read as meteors
             _draw_gaussian_dot(img, rng.uniform(0, w), rng.uniform(0, h),
-                               rng.uniform(25, 140), rng.uniform(0.7, 1.6))
+                               rng.uniform(25, 250), rng.uniform(0.7, 1.8))
         boxes, labels = [], []
         for _ in range(rng.integers(0, 3)):
             length = rng.uniform(15, 110)
@@ -239,7 +241,13 @@ def synth_batch(rng: np.random.Generator, batch: int,
             boxes.append([min(x1, x2), min(y1, y2), max(x1, x2),
                           max(y1, y2)])
             labels.append(0)  # METEOR
-        img = img + rng.normal(0, rng.uniform(2, 5), (h, w))
+        # half the batch simulates a max-stack: noise floor is the max of
+        # several per-frame noise draws (brighter, positively skewed)
+        if rng.random() < 0.5:
+            img = img + rng.normal(0, rng.uniform(2, 5),
+                                   (4, h, w)).max(axis=0)
+        else:
+            img = img + rng.normal(0, rng.uniform(2, 5), (h, w))
         imgs[b] = np.repeat(np.clip(img, 0, 255)[..., None], 3,
                             axis=-1) / 255.0
         boxes_list.append(np.asarray(boxes, np.float32).reshape(-1, 4))

@@ -62,3 +62,23 @@ def test_sharded_train_step_on_mesh():
     imgs, targets = place_batch(jnp.asarray(imgs), targets)
     variables, opt_state, loss = step(variables, opt_state, imgs, targets)
     assert np.isfinite(float(loss))
+
+def test_synth_batch_gaussian_streak_domain():
+    """synth_batch must render gaussian-PSF streaks (deployment domain),
+    with boxes tightly bounding bright pixels."""
+    rng = np.random.default_rng(3)
+    found = False
+    for _ in range(8):
+        imgs, _ = train.synth_batch(rng, 1, HW, NC)
+        img = imgs[0, :, :, 0] * 255
+        if img.max() > 100:
+            found = True
+            break
+    assert found, "no bright streak/star rendered in 8 draws"
+    # gaussian rendering: brightest pixel has non-binary neighbors (soft
+    # falloff), unlike a hard cv2.line stroke on a dark bg
+    y, x = np.unravel_index(np.argmax(img), img.shape)
+    if 2 <= y < HW[0] - 2 and 2 <= x < HW[1] - 2:
+        patch = img[y - 2:y + 3, x - 2:x + 3]
+        mids = (patch > 0.15 * img.max()) & (patch < 0.85 * img.max())
+        assert mids.sum() >= 2, "no soft gaussian falloff around the peak"

@@ -139,3 +139,28 @@ def test_yolomodel_forward_multiscale(tmp_path):
     if len(boxes):
         assert boxes[:, [0, 2]].max() <= 320 + 64
         assert boxes[:, [1, 3]].max() <= 200 + 64
+
+def test_postprocess_drops_degenerate_boxes():
+    """Sub-pixel (zero-width/height after int cast) boxes must be filtered
+    out before they reach box_matching in the recheck stage."""
+    from metdetpy_tpu.models.yolo import YOLOModel
+    m = YOLOModel.__new__(YOLOModel)
+    m.nms = False
+    m.pos_thre = 0.25
+    m.nms_thre = 0.45
+    # xywh+obj+cls rows: one normal box, one with w<1, one with h<1
+    pred = np.array([
+        [50, 50, 20, 10, 0.9, 0.8, 0.1],
+        [80.4, 80, 0.2, 10, 0.9, 0.8, 0.1],   # int-truncates to x1==x2
+        [30, 30.4, 10, 0.2, 0.9, 0.8, 0.1],   # int-truncates to y1==y2
+    ], np.float32)
+    pos, cls = m._postprocess_single(pred, (1.0, 1.0))
+    assert len(pos) == 1 and len(cls) == 1
+    assert pos[0][2] - pos[0][0] >= 1 and pos[0][3] - pos[0][1] >= 1
+
+
+def test_generate_meteor_video_empty_meteor_list():
+    from metdetpy_tpu.synth import generate_meteor_video
+    frames = generate_meteor_video(width=64, height=48, fps=10.0,
+                                   duration_sec=0.5, meteors=[], n_stars=5)
+    assert frames.shape == (5, 48, 64)
