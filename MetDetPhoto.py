@@ -109,7 +109,7 @@ def main() -> None:
     if args.resource_dir:
         set_resource_dir(args.resource_dir)
     if args.model_path is None:
-        args.model_path = "./weights/yolov5s_v4.flax.npz"
+        args.model_path = "./weights/yolov5s_v5.flax.npz"
     input_path = args.target
     model_path = (relative2abs_path(args.model_path)
                   if not path.isabs(args.model_path) else args.model_path)

@@ -248,8 +248,13 @@ def synth_batch(rng: np.random.Generator, batch: int,
                                    (4, h, w)).max(axis=0)
         else:
             img = img + rng.normal(0, rng.uniform(2, 5), (h, w))
-        imgs[b] = np.repeat(np.clip(img, 0, 255)[..., None], 3,
-                            axis=-1) / 255.0
+        # quantize like the deployed uint8 pipeline; occasionally blur to
+        # mimic codec smoothing of the noise texture
+        u8 = np.clip(img, 0, 255).astype(np.uint8)
+        if rng.random() < 0.3:
+            import cv2
+            u8 = cv2.GaussianBlur(u8, (3, 3), 0.6)
+        imgs[b] = np.repeat(u8[..., None], 3, axis=-1) / 255.0
         boxes_list.append(np.asarray(boxes, np.float32).reshape(-1, 4))
         labels_list.append(np.asarray(labels, np.int32))
     targets = build_dense_targets(boxes_list, labels_list, input_hw, nc)

@@ -3,7 +3,7 @@
 The reference's pretrained weights exist only as Git-LFS pointers in this
 mount (SURVEY.md §6), so the framework ships this reproducible path: train
 the Flax YOLOv5s on generated star-field/streak scenes and save the
-variables as weights/yolov5s_v4.flax.npz (the path the default configs
+variables as weights/yolov5s_v5.flax.npz (the path the default configs
 reference). Synthetic-domain weights make the DL detector and the recheck
 stage functional end-to-end; for production quality, fine-tune on real
 data or convert upstream weights (models/weights.py).
@@ -33,7 +33,7 @@ def main() -> None:
     from metdetpy_tpu.models.weights import save_params
     from metdetpy_tpu.utils import relative2abs_path
 
-    out = args.out or relative2abs_path("./weights/yolov5s_v4.flax.npz")
+    out = args.out or relative2abs_path("./weights/yolov5s_v5.flax.npz")
 
     class _PrintLogger:
         def info(self, msg):
