@@ -469,6 +469,7 @@ class BlockVideoLoader(VanillaVideoLoader):
         self.clear_queue()
         self.color_stacks.clear()
         self._pending = []
+        self._thread_exc = None
         self.read_stopped = False
         self.status = True
         self.video.set_to(self.start_frame)
@@ -499,8 +500,11 @@ class BlockVideoLoader(VanillaVideoLoader):
         w, h = self.runtime_size
         n_raw_total = (self.iterations // e) * e
         # preallocated block buffer: frames land directly in their final
-        # slot (no per-frame allocation, no np.stack copy)
-        block = np.empty((self.block_frames, h, w), np.uint8)
+        # slot (no per-frame allocation, no np.stack copy). Color loaders
+        # (grayscale=False, e.g. the MLDetector pipeline) carry 3 channels.
+        block_shape = (self.block_frames, h, w) if self.grayscale \
+            else (self.block_frames, h, w, 3)
+        block = np.empty(block_shape, np.uint8)
         n_in_block = 0
         color_acc: Optional[np.ndarray] = None
         merged_idx = 0
@@ -550,13 +554,15 @@ class BlockVideoLoader(VanillaVideoLoader):
                     merged_idx += 1
                     if n_in_block == self.block_frames:
                         self.block_queue.put(block, timeout=PUT_TIMEOUT)
-                        block = np.empty((self.block_frames, h, w), np.uint8)
+                        block = np.empty(block_shape, np.uint8)
                         n_in_block = 0
             if n_in_block:
                 self.block_queue.put(block[:n_in_block].copy(),
                                      timeout=PUT_TIMEOUT)
             if self.keep_color_stacks and color_acc is not None:
                 self.color_stacks[merged_idx // RECHECK_CHUNK] = color_acc
+        except BaseException as exc:  # surface decode-thread failures
+            self._thread_exc = exc
         finally:
             pool.shutdown(wait=False)
             self.read_stopped = True
@@ -566,12 +572,16 @@ class BlockVideoLoader(VanillaVideoLoader):
                 pass
 
     def pop_block(self) -> Optional[np.ndarray]:
-        """Return the next [T, H, W] uint8 block of merged frames, or None
-        at end of stream."""
+        """Return the next [T, H, W(, 3)] uint8 block of merged frames, or
+        None at end of stream. Re-raises any decode-thread failure instead
+        of silently ending the stream."""
         try:
             item = self.block_queue.get(timeout=GET_TIMEOUT * 6)
         except queue.Empty:
-            return None
+            item = None
+        if item is None and getattr(self, "_thread_exc", None) is not None:
+            exc, self._thread_exc = self._thread_exc, None
+            raise RuntimeError("video decode thread failed") from exc
         return item
 
     def recheck_stack(self, start_merged: int, end_merged: int

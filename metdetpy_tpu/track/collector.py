@@ -72,6 +72,9 @@ class MeteorCollector:
         to_wait: list[MeteorSeries] = []
         to_drop: list[MeteorSeries] = []
         for ms in self.active_meteor:
+            if ms is self._sentinel:
+                continue  # never expire/export the sentinel (long runs
+                # pass frame 2**16, its synthetic activation frame)
             if self.cur_frame - ms.last_activate_frame >= self.max_interval:
                 prob = self.prob_meteor(ms)
                 if prob > self.det_thre / 2 and prob != self.det_thre:
@@ -146,7 +149,7 @@ class MeteorCollector:
 
     def clear(self) -> None:
         """Flush everything and join the export thread (call once)."""
-        self.update(2 ** 16, [], [])
+        self.update(self.cur_frame + 2 ** 16, [], [])
         self.met_exporter.export(MetExporter.END_FLAG, [])
         self.met_exporter.join()
 

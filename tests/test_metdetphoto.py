@@ -66,3 +66,41 @@ def test_timelapse_video_mode(tmp_path, monkeypatch):
     assert data["type"] == "timelapse-prediction"
     for rec in data["results"]:
         assert "num_frame" in rec
+
+def test_single_image_detection_quality(tmp_path, monkeypatch):
+    """With the shipped trained weights, a gaussian streak on a star field
+    must be reported as a METEOR box overlapping the trail."""
+    from metdetpy_tpu.synth import _draw_gaussian_dot
+    rng = np.random.default_rng(11)
+    img = np.full((320, 320), 12.0, np.float32)
+    for _ in range(20):
+        _draw_gaussian_dot(img, rng.uniform(0, 320), rng.uniform(0, 320),
+                           rng.uniform(25, 200), rng.uniform(0.8, 1.5))
+    x1, y1, x2, y2 = 90.0, 60.0, 170.0, 130.0
+    steps = 220
+    for k in range(steps):
+        a = k / (steps - 1)
+        _draw_gaussian_dot(img, x1 + (x2 - x1) * a, y1 + (y2 - y1) * a,
+                           200.0 * (1 - 0.3 * a), 1.6)
+    img = img + rng.normal(0, 3, img.shape)
+    u8 = np.repeat(np.clip(img, 0, 255).astype(np.uint8)[..., None], 3, -1)
+    path = tmp_path / "streak.png"
+    cv2.imwrite(str(path), u8)
+    out = tmp_path / "res.json"
+    import MetDetPhoto
+    old = sys.argv
+    sys.argv = ["MetDetPhoto.py", str(path), "--scale", "1",
+                "--save-path", str(out)]
+    try:
+        MetDetPhoto.main()
+    finally:
+        sys.argv = old
+    data = json.loads(out.read_text())
+    assert len(data["results"]) == 1
+    rec = data["results"][0]
+    meteor_boxes = [b for b, p in zip(rec["boxes"], rec["preds"])
+                    if p == "METEOR"]
+    assert meteor_boxes, rec
+    # at least one METEOR box overlaps the streak bbox
+    assert any(b[0] < x2 and b[2] > x1 and b[1] < y2 and b[3] > y1
+               for b in meteor_boxes), meteor_boxes

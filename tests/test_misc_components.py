@@ -103,3 +103,43 @@ def test_native_frame_ring_and_kernels(rng):
     assert got is not None and got[0, 0] == 7
     frames = rng.integers(0, 255, (5, 16, 16), np.uint8)
     np.testing.assert_array_equal(u8_block_max(frames), frames.max(axis=0))
+
+def test_collector_sentinel_never_leaks_on_long_runs():
+    """The sentinel series (synthetic activation frame 2**16) must never be
+    expired or exported, even when a long run passes frame 65536 (44 min at
+    25 fps), and clear() must flush tracks regardless of video length."""
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.structs import RuntimeParams
+    from metdetpy_tpu.track.collector import MeteorCollector
+
+    outputs = []
+
+    class Log(BaseMetLog):
+        def meteor(self, msg):
+            outputs.append(("meteor", msg))
+
+        def dropped(self, msg):
+            outputs.append(("dropped", msg))
+
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    rp = RuntimeParams(fps=25.0, exp_frame=1, eq_fps=25.0, eq_int_fps=25,
+                       exp_time=0.04, runtime_size=[320, 180],
+                       raw_size=[640, 360],
+                       positive_category_list=["METEOR"])
+    coll = MeteorCollector(cfg.collector, rp, None, Log())
+    nc = 10
+    cate = np.zeros(nc)
+    cate[0] = 1.0
+    # a short line track at ~frame 70_000 (past the sentinel's 2**16)
+    for t in range(70_000, 70_040, 2):
+        x = 100 + (t - 70_000)
+        coll.update(t, [np.array([x, 50, x + 12, 58])], [cate])
+    # idle updates expire the track; the sentinel must survive untouched
+    for t in range(70_100, 72_000, 100):
+        coll.update(t, [], [])
+    assert coll._sentinel in coll.active_meteor
+    coll.clear()
+    texts = [str(m) for _, m in outputs]
+    assert not any("-100" in s for s in texts), texts
+    assert len(outputs) >= 1  # the real track was flushed out

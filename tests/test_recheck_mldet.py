@@ -66,8 +66,39 @@ def test_mldetector_main_loop(color_frames, monkeypatch):
     cfg.collector.recheck_cfg.switch = False
     mdrf = detect_video(color_frames[:40], None, cfg, work_mode="backend")
     # with random weights results are arbitrary; the run must complete and
-    # produce a well-formed MDRF
+    # produce a well-formed MDRF -- and must actually have processed frames
+    # (guards against the decode thread dying silently)
     assert mdrf.type == "prediction"
+    assert mdrf.performance and mdrf.performance["frames"] >= 39
     for rec in mdrf.results:
         for t in rec.target:
             assert len(t.pt1) == 2 and len(t.pt2) == 2
+
+def test_mldetector_detection_quality():
+    """dldet pipeline with the shipped trained weights: the MLDetector's
+    max-stacked windows must yield a METEOR record near the trajectory."""
+    W2, H2 = 640, 360
+    m = SynthMeteor(start_sec=2.4, end_sec=4.4,
+                    pt1=(int(W2 * 0.45), int(H2 * 0.25)),
+                    pt2=(int(W2 * 0.30), int(H2 * 0.55)))
+    frames = generate_meteor_video(width=W2, height=H2, fps=25.0,
+                                   duration_sec=8.0, meteors=[m],
+                                   n_stars=40, color=True)
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = 320
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(frames, None, cfg, work_mode="backend")
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert meteors, [(t.category, t.score) for rec in mdrf.results
+                     for t in rec.target]
+    # trajectory in raw coords: (288,90) -> (192,198)
+    t = meteors[0]
+    xs = [t.pt1[0], t.pt2[0]]
+    ys = [t.pt1[1], t.pt2[1]]
+    assert min(xs) < 288 and max(xs) > 192
+    assert min(ys) < 198 and max(ys) > 90
