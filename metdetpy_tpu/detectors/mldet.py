@@ -70,9 +70,11 @@ class MLDetector(BaseDetector):
         stacks_dev, self._hist = _window_max_color(self._hist,
                                                    jnp.asarray(block), self.n)
         stacks = np.asarray(stacks_dev)
+        # one batched forward per pyramid level + one batched NMS for the
+        # whole block (vs 3 device round trips per frame)
+        batch_out = self.model.forward_batch(stacks)
         results: list[FrameResult] = []
-        for stack in stacks:
-            pos, cls = self.model.forward(stack)
+        for stack, (pos, cls) in zip(stacks, batch_out):
             if len(pos) == 0:
                 results.append((np.zeros((0, 4), int),
                                 np.zeros((0, self.num_cls))))

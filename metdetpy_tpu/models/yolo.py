@@ -44,6 +44,15 @@ def _forward_decode(variables, imgs, nc: int, apply):
     return yolov5.decode_predictions(heads, nc)
 
 
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _nms_batch(boxes, scores, score_thre, nms_thre, top_k: int = 128):
+    """Vmapped greedy NMS over padded per-image candidate sets:
+    boxes [B, N, 4], scores [B, N] -> (order [B, K], keep [B, K])."""
+    return jax.vmap(
+        lambda b, s: nms_xyxy(b, s, score_thre, nms_thre, top_k))(boxes,
+                                                                  scores)
+
+
 class YOLOModel:
     """YOLO detector with Flax/XLA backend."""
 
@@ -171,6 +180,40 @@ class YOLOModel:
             all_cls.append(cls)
         return all_pos, all_cls
 
+    def _plan_tiles(self, h: int, w: int):
+        """Multiscale tile plan for an [h, w] image: (transpose_flag,
+        levels), each level a list of same-shape (y0, x0, hs, ws) tiles
+        (reference tiling scheme MetLib/model.py:297-400; origins clamped so
+        the whole level runs as one stackable batch)."""
+        transpose_flag = False
+        input_hw_ratio = h / w
+        h_rep, w_rep = 1, 1
+        if abs(self.hw_ratio - input_hw_ratio) > self.hw_tolerance:
+            if ((input_hw_ratio - 1) * (self.hw_ratio - 1)) > 0 or abs(
+                    self.hw_ratio - 1 / input_hw_ratio) < self.hw_tolerance:
+                transpose_flag = True
+                input_hw_ratio = 1 / input_hw_ratio
+                h, w = w, h
+            if h > w:
+                h_rep = int(np.ceil(h * self.w / (self.h * w)))
+            else:
+                w_rep = int(np.ceil(w * self.h / (h * self.w)))
+        levels = []
+        for scale in range(self.multiscale_pred):
+            if scale > 0:
+                h_rep *= self.multiscale_partition
+                w_rep *= self.multiscale_partition
+            tot_h = (h_rep - 1) * PARTITION_MIN_OVERLAP
+            tot_w = (w_rep - 1) * PARTITION_MIN_OVERLAP
+            h_size = min(int(h // (h_rep - tot_h)), h)
+            w_size = min(int(w // (w_rep - tot_w)), w)
+            h_stride = int(h // (h_rep + tot_h))
+            w_stride = int(w // (w_rep + tot_w))
+            levels.append([(min(i * h_stride, h - h_size),
+                            min(j * w_stride, w - w_size), h_size, w_size)
+                           for i in range(h_rep) for j in range(w_rep)])
+        return transpose_flag, levels
+
     def forward(self, x: np.ndarray):
         """Multiscale inference on one [H, W, 3] uint8/uint16 image."""
         assert isinstance(x, np.ndarray) and x.ndim == 3, \
@@ -184,39 +227,13 @@ class YOLOModel:
             pred = self._batched_forward(x[None])[0]
             return self._postprocess_single(pred, (w / self.w, h / self.h))
 
-        transpose_flag = False
-        input_hw_ratio = h / w
-        h_rep, w_rep = 1, 1
-        if abs(self.hw_ratio - input_hw_ratio) > self.hw_tolerance:
-            if ((input_hw_ratio - 1) * (self.hw_ratio - 1)) > 0 or abs(
-                    self.hw_ratio - 1 / input_hw_ratio) < self.hw_tolerance:
-                transpose_flag = True
-                x = np.transpose(x, (1, 0, 2))
-                input_hw_ratio = 1 / input_hw_ratio
-                h, w = w, h
-            if h > w:
-                h_rep = int(np.ceil(h * self.w / (self.h * w)))
-            else:
-                w_rep = int(np.ceil(w * self.h / (h * self.w)))
+        transpose_flag, levels = self._plan_tiles(h, w)
+        if transpose_flag:
+            x = np.transpose(x, (1, 0, 2))
 
         result_pos: list[np.ndarray] = []
         result_cls: list[np.ndarray] = []
-        for scale in range(self.multiscale_pred):
-            if scale > 0:
-                h_rep *= self.multiscale_partition
-                w_rep *= self.multiscale_partition
-            tot_h = (h_rep - 1) * PARTITION_MIN_OVERLAP
-            tot_w = (w_rep - 1) * PARTITION_MIN_OVERLAP
-            h_size = min(int(h // (h_rep - tot_h)), h)
-            w_size = min(int(w // (w_rep - tot_w)), w)
-            h_stride = int(h // (h_rep + tot_h))
-            w_stride = int(w // (w_rep + tot_w))
-            # clamp tile origins so all tiles share one shape (edge tiles
-            # gain extra overlap) -- keeps the batch stackable for the
-            # single batched forward per level
-            tiles = [(min(i * h_stride, h - h_size),
-                      min(j * w_stride, w - w_size), h_size, w_size)
-                     for i in range(h_rep) for j in range(w_rep)]
+        for tiles in levels:
             pos_list, cls_list = self._forward_tiles(x, tiles)
             result_pos.extend(pos_list)
             result_cls.extend(cls_list)
@@ -233,3 +250,103 @@ class YOLOModel:
         if transpose_flag:
             pos = pos[:, [1, 0, 3, 2]]
         return pos, cls
+
+    MAX_BATCH_CANDIDATES = 128  # per-image candidate budget for batched NMS
+
+    def forward_batch(self, imgs: np.ndarray) -> list:
+        """Batched multiscale inference on [B, H, W, 3] uint8/uint16 images.
+
+        The block-path used by MLDetector: every pyramid level of every
+        image runs in ONE device forward, and the final per-image NMS is a
+        single vmapped device call -- on a tunneled TPU this turns ~3B
+        device round trips into ~(levels + 1). Per-tile pre-NMS is skipped
+        (the stricter global multiscale NMS at IoU 0.1 subsumes it), so box
+        sets can differ from forward() in which member of a duplicate
+        cluster survives.
+        """
+        assert imgs.ndim == 4 and imgs.shape[-1] == self.c
+        b, h, w, _ = imgs.shape
+        maxv = 65535.0 if imgs.dtype == np.uint16 else 255.0
+        if b == 0:
+            return []
+        x = imgs.astype(np.float32) / maxv
+        if self.multiscale_pred == 0 or not self.nms:
+            # nms=False keeps forward()'s exact (unfiltered) semantics
+            preds = self._batched_forward(x)
+            return [self._postprocess_single(preds[k],
+                                             (w / self.w, h / self.h))
+                    for k in range(b)]
+
+        transpose_flag, levels = self._plan_tiles(h, w)
+        if transpose_flag:
+            x = np.transpose(x, (0, 2, 1, 3))
+
+        per_pos = [[] for _ in range(b)]
+        per_cls = [[] for _ in range(b)]
+        for tiles in levels:
+            hs, ws = tiles[0][2], tiles[0][3]
+            crops = np.stack([x[k, y0:y0 + hs, x0:x0 + ws]
+                              for k in range(b) for (y0, x0, _, _) in tiles])
+            preds = self._batched_forward(crops)
+            sw, sh = ws / self.w, hs / self.h
+            idx = 0
+            for k in range(b):
+                for (y0, x0, _, _) in tiles:
+                    p = preds[idx]
+                    idx += 1
+                    m = p[:, 4] >= self.pos_thre
+                    if not m.any():
+                        continue
+                    p = p[m]
+                    boxes = p[:, :4].copy()
+                    boxes[:, 0] -= boxes[:, 2] / 2
+                    boxes[:, 1] -= boxes[:, 3] / 2
+                    boxes[:, 2] += boxes[:, 0]
+                    boxes[:, 3] += boxes[:, 1]
+                    boxes[:, [0, 2]] = boxes[:, [0, 2]] * sw + x0
+                    boxes[:, [1, 3]] = boxes[:, [1, 3]] * sh + y0
+                    per_pos[k].append(boxes.astype(int))
+                    per_cls[k].append(np.sqrt(
+                        np.einsum("ab,a->ab", p[:, 5:], p[:, 4])))
+
+        cap = self.MAX_BATCH_CANDIDATES
+        cand_pos = np.zeros((b, cap, 4), np.float32)
+        cand_scr = np.full((b, cap), -1.0, np.float32)
+        kept_pos = [np.zeros((0, 4), int)] * b
+        kept_cls = [np.zeros((0, self.nc), np.float32)] * b
+        counts = np.zeros(b, int)
+        cls_store: list[np.ndarray] = [None] * b
+        pos_store: list[np.ndarray] = [None] * b
+        for k in range(b):
+            if not per_pos[k]:
+                continue
+            pos = np.concatenate(per_pos[k])
+            cls = np.concatenate(per_cls[k])
+            scr = np.max(cls, axis=-1)
+            if len(pos) > cap:
+                top = np.argsort(-scr)[:cap]
+                pos, cls, scr = pos[top], cls[top], scr[top]
+            n = len(pos)
+            cand_pos[k, :n] = pos
+            cand_scr[k, :n] = scr
+            counts[k] = n
+            pos_store[k], cls_store[k] = pos, cls
+        if counts.any():
+            order, keep = _nms_batch(jnp.asarray(cand_pos),
+                                     jnp.asarray(cand_scr),
+                                     self.pos_thre,
+                                     MULTISCALE_NMS_OVERLAP_THRE)
+            order = np.asarray(order)
+            keep = np.asarray(keep)
+            for k in range(b):
+                if counts[k] == 0:
+                    continue
+                sel = order[k][keep[k] & (order[k] < counts[k])]
+                p = pos_store[k][sel].astype(int)
+                ok = ((p[:, 2] - p[:, 0] >= 1) & (p[:, 3] - p[:, 1] >= 1))
+                kept_pos[k] = p[ok]
+                kept_cls[k] = cls_store[k][sel][ok]
+        if transpose_flag:
+            kept_pos = [p[:, [1, 0, 3, 2]] if len(p) else p
+                        for p in kept_pos]
+        return list(zip(kept_pos, kept_cls))

@@ -164,3 +164,40 @@ def test_generate_meteor_video_empty_meteor_list():
     frames = generate_meteor_video(width=64, height=48, fps=10.0,
                                    duration_sec=0.5, meteors=[], n_stars=5)
     assert frames.shape == (5, 48, 64)
+
+def test_forward_batch_matches_forward():
+    """forward_batch must find the same objects as per-image forward()
+    (box sets may differ in which duplicate-cluster member survives, so
+    compare by IoU matching of the top detections)."""
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.models.yolo import YOLOModel
+    from metdetpy_tpu.synth import _draw_gaussian_dot
+    from metdetpy_tpu.utils import box_matching
+    rng = np.random.default_rng(5)
+    imgs = []
+    for _ in range(3):
+        img = np.full((180, 320), 12.0, np.float32)
+        for _ in range(15):
+            _draw_gaussian_dot(img, rng.uniform(0, 320), rng.uniform(0, 180),
+                               rng.uniform(25, 200), rng.uniform(0.8, 1.5))
+        x1, y1 = rng.uniform(40, 120), rng.uniform(30, 80)
+        for k in range(160):
+            a = k / 159
+            _draw_gaussian_dot(img, x1 + 70 * a, y1 + 55 * a,
+                               200 * (1 - 0.3 * a), 1.5)
+        imgs.append(np.repeat(np.clip(img, 0, 255).astype(np.uint8)[..., None],
+                              3, -1))
+    imgs = np.stack(imgs)
+    m = YOLOModel(weight_path="weights/yolov5s_v5.flax.npz", dtype="float32",
+                  nms=True, warmup=False, multiscale_pred=1,
+                  multiscale_partition=2, logger=get_default_logger(),
+                  input_hw=(320, 320))
+    batch = m.forward_batch(imgs)
+    for k in range(3):
+        pos_s, _ = m.forward(imgs[k])
+        pos_b, _ = batch[k]
+        assert (len(pos_b) > 0) == (len(pos_s) > 0)
+        if len(pos_s):
+            # the single-path top box must be matched by some batch box
+            assert box_matching([list(map(int, pos_s[0]))],
+                                [list(map(int, p)) for p in pos_b])
