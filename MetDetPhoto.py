@@ -31,6 +31,8 @@ from metdetpy_tpu.visu import (DrawRectVisu, OpenCVMetVisu, SquareColorPair,
 
 SUPPORT_VIDEO_FORMAT = ["avi", "mp4", "mkv", "mpeg"]
 EXCLUDE_LIST = ["PLANE/SATELLITE", "BUGS"]
+# same-shape photos/timelapse frames batched into one device forward
+PHOTO_BATCH_SIZE = 8
 DEFAULT_COLOR = (64, 64, 64)
 DEFAULT_VISUAL_WINDOW_SIZE = [960, 540]
 CATE2COLOR_MAPPING = {
@@ -139,6 +141,36 @@ def main() -> None:
                                            flag=args.visu)
             img_loader = MultiThreadImgLoader(img_list, logger=logger)
             video = MockVideoObject(image_folder=input_path)
+            # same-shape images are batched into one device forward
+            # (forward_batch); visu mode stays per-image for interactivity
+            batch_cap = 1 if args.visu else PHOTO_BATCH_SIZE
+            pending: list[tuple[str, np.ndarray]] = []
+
+            def flush_pending() -> bool:
+                if not pending:
+                    return True
+                outs = model.forward_batch(
+                    np.stack([im for _, im in pending]))
+                for (img_path, img), (boxes, preds) in zip(pending, outs):
+                    if args.visu:
+                        visual_manager.display_a_frame(
+                            img, construct_visu_info(
+                                boxes, preds, watermark_text=img_path))
+                        if visual_manager.manual_stop:
+                            logger.info("Manual interrupt signal detected.")
+                            pending.clear()
+                            return False
+                    if len(boxes) > 0:
+                        results.append(_record_from(
+                            boxes, preds, id2name,
+                            img_size=list(img.shape)[1::-1],
+                            img_filename=img_path))
+                        logger.meteor(str(results[-1]))
+                    else:
+                        logger.debug(f"Image {img_path}: no result.")
+                pending.clear()
+                return True
+
             try:
                 img_loader.start()
                 for _ in range(len(img_list)):
@@ -149,23 +181,15 @@ def main() -> None:
                         continue
                     if args.mask:
                         mask = load_mask(args.mask, list(img.shape[1::-1]))
-                        img = img * mask
-                    boxes, preds = model.forward(img)
-                    if args.visu:
-                        visual_manager.display_a_frame(
-                            img, construct_visu_info(boxes, preds,
-                                                     watermark_text=img_path))
-                        if visual_manager.manual_stop:
-                            logger.info("Manual interrupt signal detected.")
+                        img = (img * mask).astype(img.dtype)
+                    if pending and img.shape != pending[0][1].shape:
+                        if not flush_pending():
                             break
-                    if len(boxes) > 0:
-                        results.append(_record_from(
-                            boxes, preds, id2name,
-                            img_size=list(img.shape)[1::-1],
-                            img_filename=img_path))
-                        logger.meteor(str(results[-1]))
-                    else:
-                        logger.debug(f"Image {img_path}: no result.")
+                    pending.append((img_path, img))
+                    if len(pending) >= batch_cap:
+                        if not flush_pending():
+                            break
+                flush_pending()
             except (Exception, KeyboardInterrupt) as e:
                 logger.error(f"detection terminated: {e!r}")
             finally:
@@ -206,29 +230,47 @@ def main() -> None:
                 visual_manager = OpenCVMetVisu(exp_time=1,
                                                resolution=visu_resolution,
                                                flag=args.visu)
+                tl_cap = 1 if args.visu else PHOTO_BATCH_SIZE
+                tl_pending: list[tuple[int, np.ndarray]] = []
+
+                def flush_timelapse() -> bool:
+                    if not tl_pending:
+                        return True
+                    outs = model.forward_batch(
+                        np.stack([im for _, im in tl_pending]))
+                    for (i, img), (boxes, probs) in zip(tl_pending, outs):
+                        if args.visu:
+                            visual_manager.display_a_frame(
+                                img, construct_visu_info(
+                                    boxes, probs,
+                                    watermark_text=f"{i}/{video.iterations}"))
+                            if visual_manager.manual_stop:
+                                logger.info(
+                                    "Manual interrupt signal detected.")
+                                tl_pending.clear()
+                                return False
+                        preds = [id2name[int(np.argmax(p))] for p in probs]
+                        if args.exclude_noise:
+                            sel = [k for k, pred in enumerate(preds)
+                                   if pred not in EXCLUDE_LIST]
+                            boxes = [boxes[k] for k in sel]
+                            probs = [probs[k] for k in sel]
+                        if len(boxes) > 0:
+                            results.append(_record_from(boxes, probs,
+                                                        id2name, num_frame=i))
+                            logger.meteor(str(results[-1]))
+                    tl_pending.clear()
+                    return True
+
                 for i in range(video.iterations):
                     img = video.pop()
                     if img is None:
                         continue
-                    boxes, probs = model.forward(img)
-                    if args.visu:
-                        visual_manager.display_a_frame(
-                            img, construct_visu_info(
-                                boxes, probs,
-                                watermark_text=f"{i}/{video.iterations}"))
-                        if visual_manager.manual_stop:
-                            logger.info("Manual interrupt signal detected.")
+                    tl_pending.append((i, img))
+                    if len(tl_pending) >= tl_cap:
+                        if not flush_timelapse():
                             break
-                    preds = [id2name[int(np.argmax(p))] for p in probs]
-                    if args.exclude_noise:
-                        sel = [k for k, pred in enumerate(preds)
-                               if pred not in EXCLUDE_LIST]
-                        boxes = [boxes[k] for k in sel]
-                        probs = [probs[k] for k in sel]
-                    if len(boxes) > 0:
-                        results.append(_record_from(boxes, probs, id2name,
-                                                    num_frame=i))
-                        logger.meteor(str(results[-1]))
+                flush_timelapse()
             else:
                 raise NotImplementedError(
                     f"Unsupported file suffix \"{suffix}\"; supported: "

@@ -37,6 +37,19 @@ MULTISCALE_NMS_OVERLAP_THRE = 0.1
 DEFAULT_INPUT_HW = (640, 640)
 
 
+def _ensure_3ch(x: np.ndarray) -> np.ndarray:
+    """Expand grayscale / drop alpha so the model always sees 3 channels
+    (the reference's channel-expand preprocess, MetLib/imgproc.py:128-135;
+    loaders keep IMREAD_UNCHANGED semantics so single-channel images reach
+    the model)."""
+    if x.ndim == 2 or (x.ndim == 3 and x.shape[-1] == 1):
+        x = x.reshape(*x.shape[:2])
+        return np.repeat(x[..., None], 3, axis=-1)
+    if x.ndim == 3 and x.shape[-1] == 4:
+        return x[..., :3]
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("nc", "apply"))
 def _forward_decode(variables, imgs, nc: int, apply):
     """imgs: [B, H, W, 3] float32 in [0,1] -> decoded [B, N, 5+nc]."""
@@ -215,9 +228,10 @@ class YOLOModel:
         return transpose_flag, levels
 
     def forward(self, x: np.ndarray):
-        """Multiscale inference on one [H, W, 3] uint8/uint16 image."""
-        assert isinstance(x, np.ndarray) and x.ndim == 3, \
-            "input must be a 3-dim array"
+        """Multiscale inference on one [H, W(, C)] uint8/uint16 image
+        (grayscale expanded, alpha dropped)."""
+        assert isinstance(x, np.ndarray) and x.ndim in (2, 3)
+        x = _ensure_3ch(x)
         h, w, c = x.shape
         assert c == self.c, "channel count must match"
         maxv = 65535.0 if x.dtype == np.uint16 else 255.0
@@ -264,7 +278,9 @@ class YOLOModel:
         sets can differ from forward() in which member of a duplicate
         cluster survives.
         """
-        assert imgs.ndim == 4 and imgs.shape[-1] == self.c
+        assert imgs.ndim in (3, 4)
+        if imgs.ndim == 3 or imgs.shape[-1] != self.c:
+            imgs = np.stack([_ensure_3ch(im) for im in imgs])
         b, h, w, _ = imgs.shape
         maxv = 65535.0 if imgs.dtype == np.uint16 else 255.0
         if b == 0:
