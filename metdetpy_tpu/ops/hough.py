@@ -286,8 +286,19 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
                 None)
         else:
             votes = jax.vmap(lambda f: frame_votes(f, max_points))(flats)
-        lines, line_ok, overflow = jax.vmap(peaks_and_extract)(
-            imgs, votes, npix, gaps)
+        # skip peak-find + the gather-heavy segment walk for chunks where
+        # no accumulator bin clears the threshold (most frames of a night
+        # sky) -- scalar predicate keeps lax.cond a real branch
+        def no_peaks(_):
+            return (jnp.zeros((fc, max_peaks, 4), jnp.int32),
+                    jnp.zeros((fc, max_peaks), bool),
+                    npix > max_points)
+
+        def with_peaks(_):
+            return jax.vmap(peaks_and_extract)(imgs, votes, npix, gaps)
+
+        lines, line_ok, overflow = lax.cond(
+            jnp.max(votes) > threshold, with_peaks, no_peaks, None)
         return lines, line_ok, npix, overflow
 
     d4 = dst01.reshape(t_block // fc, fc, h, w)
