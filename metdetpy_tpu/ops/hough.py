@@ -276,16 +276,25 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
         imgs, gaps = args                      # [fc, H, W], [fc]
         flats = imgs.reshape(fc, -1)
         npix = jnp.sum(flats, axis=1, dtype=jnp.int32)
-        if max_points > small_cap:
-            votes = lax.cond(
-                jnp.max(npix) <= small_cap,
-                lambda _: jax.vmap(lambda f: frame_votes(f, small_cap))(
-                    flats),
-                lambda _: jax.vmap(lambda f: frame_votes(f, max_points))(
-                    flats),
-                None)
-        else:
-            votes = jax.vmap(lambda f: frame_votes(f, max_points))(flats)
+        chunk_max = jnp.max(npix)
+
+        def compute_votes(_):
+            if max_points > small_cap:
+                return lax.cond(
+                    chunk_max <= small_cap,
+                    lambda __: jax.vmap(lambda f: frame_votes(f, small_cap))(
+                        flats),
+                    lambda __: jax.vmap(lambda f: frame_votes(f, max_points))(
+                        flats),
+                    None)
+            return jax.vmap(lambda f: frame_votes(f, max_points))(flats)
+
+        # fully-empty chunks (common after thresholding a quiet sky) skip
+        # compaction + voting entirely: no active pixel -> no vote anywhere
+        votes = lax.cond(
+            chunk_max == 0,
+            lambda _: jnp.zeros((fc, n_theta, n_rho), jnp.float32),
+            compute_votes, None)
         # skip peak-find + the gather-heavy segment walk for chunks where
         # no accumulator bin clears the threshold (most frames of a night
         # sky) -- scalar predicate keeps lax.cond a real branch
