@@ -215,8 +215,14 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     eq_int_fps = max(rt_param.eq_int_fps, 1)
     block_frames = getattr(video_loader, "block_frames", 64)
     use_async = hasattr(detector, "process_block_async")
-    pipeline_depth = 3
-    executor = ThreadPoolExecutor(max_workers=3) if use_async else None
+    # device compute is ~12ms/64-frame block (traced); wall time is
+    # dominated by tunnel round trips (~100ms quiet, ~1s contended), so
+    # keep several fetches in flight -- each inflight fetch needs its own
+    # worker thread since np.asarray blocks on the round trip
+    import os as _os
+    pipeline_depth = int(_os.environ.get("METDETPY_TPU_PIPELINE_DEPTH", 6))
+    executor = (ThreadPoolExecutor(max_workers=pipeline_depth + 2)
+                if use_async else None)
     inflight: "collections.deque" = collections.deque()
 
     def upload(raw_block):
