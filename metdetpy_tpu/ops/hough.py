@@ -49,6 +49,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pvary_like(x: jax.Array, ref: jax.Array) -> jax.Array:
+    """Promote x's varying manual axes to match ref's.
+
+    Under shard_map, lax.cond requires both branches to carry the same
+    varying-manual-axes set; a branch returning a constant (e.g. zeros)
+    is axis-invariant while the data-derived branch varies over the mesh
+    axis, which is a hard TypeError. This lifts the constant branch to
+    vary like ``ref``. Outside shard_map (plain jit/eager) it is a no-op.
+    """
+    try:
+        want = jax.typeof(ref).vma
+        have = jax.typeof(x).vma
+        missing = tuple(a for a in want if a not in have)
+        if missing:
+            return lax.pcast(x, missing, to='varying')
+    except (AttributeError, TypeError):
+        pass
+    return x
+
+
 def _compact_indices(flat01: jax.Array, k: int) -> tuple[jax.Array,
                                                          jax.Array]:
     """Indices of the first k nonzero entries of a 0/1 vector.
@@ -293,14 +313,16 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
         # compaction + voting entirely: no active pixel -> no vote anywhere
         votes = lax.cond(
             chunk_max == 0,
-            lambda _: jnp.zeros((fc, n_theta, n_rho), jnp.float32),
+            lambda _: pvary_like(
+                jnp.zeros((fc, n_theta, n_rho), jnp.float32), flats),
             compute_votes, None)
         # skip peak-find + the gather-heavy segment walk for chunks where
         # no accumulator bin clears the threshold (most frames of a night
         # sky) -- scalar predicate keeps lax.cond a real branch
         def no_peaks(_):
-            return (jnp.zeros((fc, max_peaks, 4), jnp.int32),
-                    jnp.zeros((fc, max_peaks), bool),
+            return (pvary_like(jnp.zeros((fc, max_peaks, 4), jnp.int32),
+                               flats),
+                    pvary_like(jnp.zeros((fc, max_peaks), bool), flats),
                     npix > max_points)
 
         def with_peaks(_):
