@@ -108,6 +108,48 @@ def bench_multistream():
     }))
 
 
+def bench_device_only(frames_540p: "np.ndarray", n_blocks: int = 16):
+    """Device-only throughput of the fused M3 block step: all inputs
+    resident in HBM, carries chained across iterations (true steady-state
+    dataflow), one block_until_ready at the end. This isolates kernel
+    quality from tunnel/host drag -- the number a production v5e with
+    local PCIe feeding would approach end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    from metdetpy_tpu.detectors.m3det import M3Detector
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import get_num_class, relative2abs_path
+
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    h, w = frames_540p.shape[1:3]
+    block_frames = 64
+    det = M3Detector(window_sec=cfg.detector.window_sec, fps=25.0,
+                     mask=np.ones((h, w), np.uint8),
+                     num_cls=get_num_class(), cfg=cfg.detector.cfg,
+                     logger=BaseMetLog())
+    n_avail = frames_540p.shape[0] // block_frames
+    blocks = [jax.device_put(
+        frames_540p[i * block_frames:(i + 1) * block_frames])
+        for i in range(n_avail)]
+    jax.block_until_ready(blocks)
+    # warm up compile + one pass
+    jax.block_until_ready(det.process_block_async(blocks[0])[0])
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        outs = []
+        for i in range(n_blocks):
+            packed, _dst = det.process_block_async(blocks[i % n_avail])
+            outs.append(packed)
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        best = max(best, n_blocks * block_frames / dt)
+    return best
+
+
 def main():
     if os.environ.get("BENCH_MODE") == "multistream":
         bench_multistream()
@@ -144,11 +186,21 @@ def main():
         f"[bench] {n_frames} frames; passes "
         f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
         f"METEOR records: {n_meteors}\n")
+
+    # device-only throughput on the same analysis-resolution frames
+    import cv2
+    small = np.stack([cv2.resize(f, (960, 540)) for f in frames[:256]])
+    device_fps = bench_device_only(small)
+    sys.stderr.write(f"[bench] device-only fused-step fps: "
+                     f"{device_fps:.1f}\n")
+
     print(json.dumps({
         "metric": "1080p_detect_fps_per_chip",
         "value": round(value, 2),
         "unit": "frames/sec",
         "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "device_only_fps": round(device_fps, 2),
+        "device_only_vs_baseline": round(device_fps / REFERENCE_FPS, 2),
     }))
 
 

@@ -216,19 +216,25 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     block_frames = getattr(video_loader, "block_frames", 64)
     use_async = hasattr(detector, "process_block_async")
     # device compute is ~12ms/64-frame block (traced); wall time is
-    # dominated by tunnel round trips (~100ms quiet, ~1s contended), so
-    # keep several fetches in flight -- each inflight fetch needs its own
-    # worker thread since np.asarray blocks on the round trip
+    # dominated by tunnel round trips (~100ms quiet, seconds contended).
+    # device_put and the jitted dispatch are both ASYNC (the 33MB
+    # device_put call returns in ~27ms; the RPC streams in the
+    # background), so they run inline on the main thread; only the
+    # blocking result fetch (np.asarray round trip) needs worker threads,
+    # one per inflight block. Keeping uploads out of the collect pool
+    # matters: a contended fetch taking seconds must not be able to
+    # starve the upload path (the round-1 pipeline shared one executor
+    # and serialized on exactly that).
     import os as _os
     pipeline_depth = int(_os.environ.get("METDETPY_TPU_PIPELINE_DEPTH", 6))
-    executor = (ThreadPoolExecutor(max_workers=pipeline_depth + 2)
+    executor = (ThreadPoolExecutor(max_workers=pipeline_depth)
                 if use_async else None)
     inflight: "collections.deque" = collections.deque()
 
-    def upload(raw_block):
-        """Pad + host->device transfer. Runs in a worker thread: on
-        tunneled backends the transfer blocks on a network round trip, so
-        uploading ahead overlaps it with the previous block's compute."""
+    def dispatch(raw_block):
+        """Pad, start the async host->device transfer, enqueue the device
+        step, and hand the result handle to a collect worker."""
+        nonlocal use_async
         n_real = raw_block.shape[0]
         if n_real < block_frames:
             pad = np.repeat(raw_block[-1:], block_frames - n_real, axis=0)
@@ -237,17 +243,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
             blk = raw_block
         if use_async:
             import jax
-            return jax.device_put(blk), blk, n_real
-        return blk, blk, n_real
-
-    def dispatch(upload_fut):
-        nonlocal use_async
-        dev_block, blk, n_real = (upload_fut.result()
-                                  if hasattr(upload_fut, "result")
-                                  else upload_fut)
-        if use_async:
             try:
-                handle = detector.process_block_async(dev_block)
+                handle = detector.process_block_async(jax.device_put(blk))
             except NotImplementedError:
                 use_async = False
             else:
@@ -310,27 +307,18 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         return True
 
     stopped = False
-    uploads: "collections.deque" = collections.deque()
     try:
         while not stopped:
             with timer.stage("decode_wait"):
                 raw_block = video_loader.pop_block()
             if raw_block is None:
                 break
-            if executor is not None:
-                uploads.append(executor.submit(upload, raw_block))
-            else:
-                uploads.append(upload(raw_block))
-            while len(uploads) >= 2:
-                with timer.stage("dispatch"):
-                    inflight.append(dispatch(uploads.popleft()))
+            with timer.stage("dispatch"):
+                inflight.append(dispatch(raw_block))
             while len(inflight) >= pipeline_depth:
                 if consume(inflight.popleft()) is False:
                     stopped = True
                     break
-        while uploads and not stopped:
-            with timer.stage("dispatch"):
-                inflight.append(dispatch(uploads.popleft()))
         while inflight and not stopped:
             if consume(inflight.popleft()) is False:
                 break
