@@ -248,10 +248,24 @@ class YOLOModel:
         result_pos: list[np.ndarray] = []
         result_cls: list[np.ndarray] = []
         for tiles in levels:
-            pos_list, cls_list = self._forward_tiles(x, tiles)
+            # per-level failure recovery (the batched analog of the
+            # reference's per-tile exception skip, MetLib/model.py:374-383):
+            # a failing pyramid level loses only that level's tiles -- the
+            # results already accumulated are still returned
+            try:
+                pos_list, cls_list = self._forward_tiles(x, tiles)
+            except Exception as e:
+                self.logger.error(
+                    f"Exception {e!r} encountered with calling "
+                    f"{self.__class__.__name__}. Results of this pyramid "
+                    f"level could be lost...")
+                continue
             result_pos.extend(pos_list)
             result_cls.extend(cls_list)
 
+        if not result_pos:
+            return (np.zeros((0, 4), dtype=int),
+                    np.zeros((0, self.nc), dtype=np.float64))
         pos = np.concatenate(result_pos, axis=0)
         cls = np.concatenate(result_cls, axis=0)
         if len(pos) > 0:

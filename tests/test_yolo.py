@@ -201,3 +201,37 @@ def test_forward_batch_matches_forward():
             # the single-path top box must be matched by some batch box
             assert box_matching([list(map(int, pos_s[0]))],
                                 [list(map(int, p)) for p in pos_b])
+
+
+def test_forward_per_level_failure_recovery(tmp_path):
+    """A failing pyramid level loses only that level: partial results from
+    the other levels are still returned (the batched analog of the
+    reference's per-tile exception skip, MetLib/model.py:374-383)."""
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.models.yolo import YOLOModel
+    model = YOLOModel(weight_path=str(tmp_path / "missing.npz"),
+                      nms=True, warmup=False, multiscale_pred=2,
+                      multiscale_partition=2, logger=BaseMetLog(),
+                      input_hw=HW)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (200, 320, 3), np.uint8)
+
+    calls = {"n": 0}
+    orig = model._forward_tiles
+
+    def flaky(x, tiles):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected tile failure")
+        return orig(x, tiles)
+
+    model._forward_tiles = flaky
+    boxes, cls = model.forward(img)  # must not raise
+    assert calls["n"] == 2
+    assert boxes.ndim == 2 and boxes.shape[1] == 4
+
+    # all levels failing -> clean empty result
+    model._forward_tiles = lambda x, tiles: (_ for _ in ()).throw(
+        RuntimeError("boom"))
+    boxes, cls = model.forward(img)
+    assert len(boxes) == 0 and cls.shape == (0, 8)
