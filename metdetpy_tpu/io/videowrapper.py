@@ -144,12 +144,18 @@ class OpenCVVideoWrapper(BaseVideoWrapper):
         return time2frame(int(self.video.get(cv2.CAP_PROP_POS_MSEC)), self.fps)
 
 
-class PyAVVideoWrapper(BaseVideoWrapper):
-    """PyAV-backed wrapper with PTS-accurate reads
-    (reference MetLib/videowrapper.py:170-335).
+MAX_OFFSET_TOLERANCE_SEC = 0.5  # PTS drift before drop/duplicate repair
 
-    PyAV is not installed in this image; instantiation transparently
-    delegates to OpenCVVideoWrapper so reference configs keep working.
+
+class PyAVVideoWrapper(BaseVideoWrapper):
+    """PyAV-backed wrapper with PTS-tracking reads, drop/duplicate repair
+    for damaged streams, and frame-accurate 2-stage seeking (semantic
+    parity with reference MetLib/videowrapper.py:170-335).
+
+    PyAV is not installed in this image; instantiation without it
+    transparently delegates to OpenCVVideoWrapper so reference configs keep
+    working. The PTS logic is host Python and fully unit-tested against a
+    mocked av container (tests/test_videowrapper_pyav.py).
     """
 
     def __new__(cls, video_name: str, hwaccel: Optional[str] = None):
@@ -161,27 +167,50 @@ class PyAVVideoWrapper(BaseVideoWrapper):
 
     def __init__(self, video_name: str, hwaccel: Optional[str] = None) -> None:
         assert HAS_PYAV
-        opts = {"threads": "auto"}
-        self.container = av.open(video_name, options=opts)
-        self.stream = self.container.streams.video[0]
-        if hwaccel:
+        import os
+        if hwaccel is not None:
             try:
-                self.stream.codec_context.options = {"hwaccel": hwaccel}
+                decoder = av.codec.hwaccel.HWAccel(
+                    device_type=hwaccel, allow_software_fallback=True)
             except Exception:
                 logger.warning(f"hwaccel {hwaccel} not applied.")
-        self._iter = self.container.decode(self.stream)
-        self._pos = 0
+                decoder = None
+        else:
+            decoder = None
+        kwargs = {"options": {"threads": str(os.cpu_count())}}
+        if decoder is not None:
+            kwargs["hwaccel"] = decoder
+        self.container = av.open(video_name, **kwargs)
+        self.stream = self.container.streams.video[0]
+        try:
+            self.stream.thread_type = "FRAME"
+        except Exception:
+            pass
+        # decoded-but-undelivered frames (packets can hold several)
+        self._frame_cache: list = []
+        # logical frame counter: the position the CALLER believes it is at;
+        # repair keeps it consistent with PTS-derived actual positions
+        self._cur_frame_idx = 0
+        self._last_frame_data: Optional[np.ndarray] = None
+        self.tolerance_frame_num = int(MAX_OFFSET_TOLERANCE_SEC * self.fps)
+
+    # -- metadata ------------------------------------------------------
 
     @property
     def fps(self) -> float:
-        return float(self.stream.average_rate)
+        rate = self.stream.average_rate
+        return float(rate) if rate else 0.0
+
+    @property
+    def _num_frames_by_container(self) -> int:
+        if self.container.duration is None:
+            return 0
+        return int(self.container.duration / 1e6 * self.fps)
 
     @property
     def num_frames(self) -> int:
-        if self.stream.frames:
-            return int(self.stream.frames)
-        dur = float(self.stream.duration * self.stream.time_base)
-        return int(round(dur * self.fps))
+        return (int(self.stream.frames) if self.stream.frames
+                else self._num_frames_by_container)
 
     @property
     def size(self) -> list[int]:
@@ -189,33 +218,116 @@ class PyAVVideoWrapper(BaseVideoWrapper):
 
     @property
     def backend_name(self) -> str:
-        return f"{self.__class__.__name__}(libav)"
+        try:
+            codec = self.container.streams[0].codec_context.codec.name
+        except Exception:
+            codec = "?"
+        return f"{self.__class__.__name__}(FFmpeg)({codec})"
+
+    # -- PTS <-> frame math ---------------------------------------------
+
+    def pts2frame(self, pts: int) -> int:
+        if self.stream.time_base is None or pts is None:
+            return -1
+        return int(pts * float(self.stream.time_base) * self.fps)
+
+    def frame2pts(self, frame_num: int) -> int:
+        if self.stream.time_base is None:
+            return -1
+        return int(frame_num / self.fps / self.stream.time_base)
+
+    # -- decode with PTS repair ------------------------------------------
 
     def read(self):
+        """Next frame with PTS-gap repair (reference
+        MetLib/videowrapper.py:221-276): when the decoded stream's
+        PTS-derived index lags the logical counter by more than the
+        tolerance the frame is DROPPED (decoder re-emitting stale frames);
+        when it leads by more than the tolerance the previous frame is
+        DUPLICATED (holes in a damaged stream) so downstream timing stays
+        frame-accurate."""
         try:
-            frame = next(self._iter)
-        except (StopIteration, Exception):
+            while True:
+                if not self._frame_cache:
+                    for packet in self.container.demux(self.stream):
+                        frames = packet.decode()
+                        if frames:
+                            self._frame_cache.extend(frames)
+                            break
+                    else:
+                        return False, None  # end of stream
+
+                nxt = self._frame_cache[0]
+                if nxt.pts is None:
+                    self._last_frame_data = self._frame_cache.pop(
+                        0).to_ndarray(format="bgr24")
+                    self._cur_frame_idx += 1
+                    return True, self._last_frame_data
+                actual_idx = self.pts2frame(nxt.pts)
+                if self._cur_frame_idx > actual_idx and (
+                        self._cur_frame_idx
+                        - actual_idx) > self.tolerance_frame_num:
+                    logger.debug(
+                        f"Decoded frame index {actual_idx} is behind the "
+                        f"expected index {self._cur_frame_idx}; dropping.")
+                    self._frame_cache.pop(0)
+                    continue
+                break
+
+            if self._cur_frame_idx < actual_idx and (
+                    actual_idx
+                    - self._cur_frame_idx) > self.tolerance_frame_num:
+                logger.debug(
+                    f"Decoded frame index {actual_idx} is ahead of the "
+                    f"expected index {self._cur_frame_idx}; repairing.")
+                if self._last_frame_data is not None:
+                    # fill the hole by repeating the previous frame
+                    self._cur_frame_idx += 1
+                    return True, self._last_frame_data
+                # nothing to repeat yet: jump the counter forward
+                self._cur_frame_idx = actual_idx
+
+            self._last_frame_data = self._frame_cache.pop(0).to_ndarray(
+                format="bgr24")
+            self._cur_frame_idx += 1
+            return True, self._last_frame_data
+        except Exception as e:
+            logger.error(f"{e!r} encountered when reading video frame "
+                         f"with {self.__class__.__name__}.")
             return False, None
-        self._pos += 1
-        return True, frame.to_ndarray(format="bgr24")
+
+    # -- seeking ----------------------------------------------------------
 
     def set_to(self, frame_num: int) -> bool:
-        ts = int(frame_num / self.fps / self.stream.time_base)
-        self.container.seek(ts, stream=self.stream, any_frame=False)
-        self._iter = self.container.decode(self.stream)
-        # roll forward to the exact frame
-        self._pos = frame_num
-        for frame in self._iter:
-            if frame.pts is None:
-                continue
-            cur = int(round(float(frame.pts * self.stream.time_base)
-                            * self.fps))
-            if cur >= frame_num - 1:
-                break
+        """Frame-accurate 2-stage seek (reference
+        MetLib/videowrapper.py:281-308): container-level backward keyframe
+        seek, then decode forward until the PTS reaches the target."""
+        if self.stream.time_base is None:
+            raise ValueError("Invalid time_base value: None")
+        self.container.seek(frame2time(frame_num, self.fps) * 1000,
+                            any_frame=False, backward=True)
+        for packet in self.container.demux(video=0):
+            for decoded in packet.decode():
+                if self.pts2frame(decoded.pts) >= frame_num:
+                    self._cur_frame_idx = frame_num
+                    self._last_frame_data = None
+                    self._frame_cache = []
+                    return True
+        self._cur_frame_idx = frame_num
+        self._last_frame_data = None
+        self._frame_cache = []
+        return True
+
+    def force_set_to(self, frame_num: int) -> bool:
+        self.container.seek(0, any_frame=False, backward=True)
+        for packet in self.container.demux(video=0):
+            for decoded in packet.decode():
+                if self.pts2frame(decoded.pts) >= frame_num:
+                    return True
         return True
 
     def get_video_pos(self) -> int:
-        return self._pos
+        return self._cur_frame_idx
 
     def release(self) -> None:
         self.container.close()
