@@ -19,15 +19,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def _loaders():
-    from .io.videoloader import (BlockVideoLoader, ThreadVideoLoader,
-                                 VanillaVideoLoader)
+    from .io.videoloader import (BlockVideoLoader, ProcessVideoLoader,
+                                 ThreadVideoLoader, VanillaVideoLoader)
     return {
         "VanillaVideoLoader": VanillaVideoLoader,
         "ThreadVideoLoader": ThreadVideoLoader,
         "BlockVideoLoader": BlockVideoLoader,
-        # the reference's process loader exists to escape the GIL for
-        # decode; the block loader already amortizes that cost
-        "ProcessVideoLoader": BlockVideoLoader,
+        "ProcessVideoLoader": ProcessVideoLoader,
     }
 
 

@@ -629,6 +629,206 @@ class BlockVideoLoader(VanillaVideoLoader):
         return self.read_stopped and self.block_queue.empty()
 
 
+def _process_decode_worker(wrapper_cls, video_name, hwaccel, start_frame,
+                           n_raw_total, exp_frame, preprocess, block_frames,
+                           block_shape, shm_name, n_slots, free_q, ready_q,
+                           stop_evt, continue_on_err, keep_color,
+                           recheck_chunk):
+    """Decode/preprocess/merge loop running in a SEPARATE PROCESS, writing
+    completed blocks into a shared-memory ring (the TPU-block analog of
+    the reference's RawArray frame ring, MetLib/videoloader.py:634-793).
+
+    Protocol: parent pre-fills ``free_q`` with slot ids; the worker blocks
+    on a free slot, fills it, and posts ("block", slot, n_frames) on
+    ``ready_q``. Color recheck stacks travel as ("stack", idx, array)
+    messages; EOS is ("eos",); failures are ("error", repr).
+    """
+    import numpy as _np
+    from multiprocessing import shared_memory as _shm
+    shm = None
+    wrapper = None
+    try:
+        shm = _shm.SharedMemory(name=shm_name)
+        ring = _np.ndarray((n_slots,) + block_shape, _np.uint8,
+                           buffer=shm.buf)
+        wrapper = wrapper_cls(video_name, hwaccel=hwaccel)
+        wrapper.set_to(start_frame)
+        slot = free_q.get()
+        n_in_block = 0
+        merged_idx = 0
+        color_acc = None
+        group: list = []
+        cgroup: list = []
+        raw_left = n_raw_total
+        while raw_left > 0 and not stop_evt.is_set():
+            ok, raw = wrapper.read()
+            if not ok or raw is None:
+                if continue_on_err:
+                    raw_left -= 1
+                    continue
+                break
+            raw_left -= 1
+            if keep_color:
+                g, c = preprocess(raw, keep_color=True)
+                group.append(g)
+                cgroup.append(c)
+            else:
+                group.append(preprocess(raw))
+            if len(group) < exp_frame:
+                continue
+            merged = group[0]
+            for f in group[1:]:
+                _np.maximum(merged, f, out=merged)
+            group = []
+            ring[slot, n_in_block] = merged
+            n_in_block += 1
+            if keep_color:
+                color = _np.ascontiguousarray(cgroup[0])
+                for f in cgroup[1:]:
+                    _np.maximum(color, f, out=color)
+                cgroup = []
+                color_acc = (color if color_acc is None
+                             else _np.maximum(color_acc, color))
+                if (merged_idx + 1) % recheck_chunk == 0:
+                    ready_q.put(("stack", merged_idx // recheck_chunk,
+                                 color_acc))
+                    color_acc = None
+            merged_idx += 1
+            if n_in_block == block_frames:
+                ready_q.put(("block", slot, n_in_block))
+                n_in_block = 0
+                slot = free_q.get()
+        if n_in_block and not stop_evt.is_set():
+            ready_q.put(("block", slot, n_in_block))
+        if keep_color and color_acc is not None:
+            ready_q.put(("stack", merged_idx // recheck_chunk, color_acc))
+        ready_q.put(("eos",))
+    except Exception as exc:  # surface child failures to the parent
+        try:
+            ready_q.put(("error", repr(exc)))
+        except Exception:
+            pass
+    finally:
+        if wrapper is not None:
+            try:
+                wrapper.release()
+            except Exception:
+                pass
+        if shm is not None:
+            shm.close()
+
+
+class ProcessVideoLoader(BlockVideoLoader):
+    """Subprocess decode with a shared-memory block ring.
+
+    The GIL-escaping analog of the reference's ProcessVideoLoader
+    (MetLib/videoloader.py:634-793): decode + preprocess + exposure merge
+    run in a child process; completed [block_frames, H, W(,3)] blocks are
+    exchanged through POSIX shared memory with a slot free-list, so the
+    only per-block parent cost is one memcpy out of the ring.
+    """
+
+    def __init__(self, *args: Any, ring_slots: int = 4, **kwargs: Any
+                 ) -> None:
+        self.ring_slots = ring_slots
+        self._proc = None
+        self._shm = None
+        super().__init__(*args, **kwargs)
+
+    def start(self):
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        self.color_stacks.clear()
+        self._pending = []
+        self._thread_exc = None
+        self.read_stopped = False
+        self._eos = False
+
+        e = self.exp_frame
+        w, h = self.runtime_size
+        block_shape = ((self.block_frames, h, w) if self.grayscale
+                       else (self.block_frames, h, w, 3))
+        nbytes = int(np.prod((self.ring_slots,) + block_shape))
+        ctx = mp.get_context("spawn")
+        self._shm = shared_memory.SharedMemory(create=True, size=nbytes)
+        self._ring = np.ndarray((self.ring_slots,) + block_shape, np.uint8,
+                                buffer=self._shm.buf)
+        self._free_q = ctx.Queue()
+        self._ready_q = ctx.Queue()
+        self._stop_evt = ctx.Event()
+        for s in range(self.ring_slots):
+            self._free_q.put(s)
+        n_raw_total = (self.iterations // e) * e
+        self._proc = ctx.Process(
+            target=_process_decode_worker,
+            args=(self.video_wrapper, self.video_name, self.hwaccel,
+                  self.start_frame, n_raw_total, e, self.preprocess,
+                  self.block_frames, block_shape, self._shm.name,
+                  self.ring_slots, self._free_q, self._ready_q,
+                  self._stop_evt, self.continue_on_err,
+                  self.keep_color_stacks, RECHECK_CHUNK),
+            daemon=True)
+        self._proc.start()
+
+    def pop_block(self) -> Optional[np.ndarray]:
+        if getattr(self, "_eos", False):
+            return None
+        while True:
+            try:
+                msg = self._ready_q.get(timeout=GET_TIMEOUT * 6)
+            except queue.Empty:
+                self.read_stopped = True
+                return None
+            kind = msg[0]
+            if kind == "block":
+                _, slot, n = msg
+                out = self._ring[slot, :n].copy()
+                self._free_q.put(slot)
+                return out
+            if kind == "stack":
+                self.color_stacks[msg[1]] = msg[2]
+                continue
+            if kind == "eos":
+                self._eos = True
+                self.read_stopped = True
+                return None
+            if kind == "error":
+                self._eos = True
+                self.read_stopped = True
+                raise RuntimeError(f"video decode process failed: {msg[1]}")
+
+    def stop(self):
+        self.read_stopped = True
+        if getattr(self, "_stop_evt", None) is not None:
+            self._stop_evt.set()
+
+    def release(self):
+        self.stop()
+        proc, self._proc = self._proc, None
+        if proc is not None:
+            proc.join(timeout=5)
+            if proc.is_alive():
+                proc.terminate()
+                proc.join(timeout=5)
+        shm, self._shm = self._shm, None
+        if shm is not None:
+            self._ring = None
+            shm.close()
+            try:
+                shm.unlink()
+            except FileNotFoundError:
+                pass
+        self.video.release()
+
+    @property
+    def stopped(self) -> bool:
+        return self.read_stopped
+
+    def clear_queue(self):
+        pass
+
+
 # ---------------------------------------------------------------------------
 # Real-exposure ("real FPS") estimator
 # (reference MetLib/videoloader.py:796-870)

@@ -89,3 +89,53 @@ def test_thread_loader_pop_sequence():
             break
         seen.append(int(f[0, 0]))
     assert seen == list(range(20))
+
+
+def test_process_loader_matches_block_loader():
+    """ProcessVideoLoader (subprocess decode + shared-memory block ring,
+    reference MetLib/videoloader.py:634-793 analog) must deliver exactly
+    the blocks the in-process BlockVideoLoader delivers."""
+    from metdetpy_tpu.io.videoloader import ProcessVideoLoader
+    frames = _slow_shutter_video(exp_frames=2, n_exposures=24)
+    kw = dict(exp_option=2 / 25, merge_func="max", grayscale=True,
+              block_frames=8)
+    ref_loader = BlockVideoLoader(NumpyVideoWrapper, frames, **kw)
+    ref_loader.start()
+    ref_blocks = []
+    while True:
+        blk = ref_loader.pop_block()
+        if blk is None:
+            break
+        ref_blocks.append(blk)
+    ref_loader.release()
+
+    loader = ProcessVideoLoader(NumpyVideoWrapper, frames, **kw)
+    assert loader.exp_frame == 2
+    loader.start()
+    got_blocks = []
+    while True:
+        blk = loader.pop_block()
+        if blk is None:
+            break
+        got_blocks.append(blk)
+    loader.release()
+    assert len(got_blocks) == len(ref_blocks)
+    for a, b in zip(got_blocks, ref_blocks):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_process_loader_color_stacks():
+    from metdetpy_tpu.io.videoloader import ProcessVideoLoader
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (32, 24, 32, 3), dtype=np.uint8)
+    loader = ProcessVideoLoader(NumpyVideoWrapper, frames,
+                                exp_option="real-time", merge_func="max",
+                                grayscale=True, keep_color_stacks=True,
+                                block_frames=16)
+    loader.start()
+    while loader.pop_block() is not None:
+        pass
+    stack = loader.recheck_stack(0, 31)
+    loader.release()
+    assert stack is not None and stack.shape == (24, 32, 3)
+    assert stack.max() >= frames.max() - 1
