@@ -81,20 +81,151 @@ def _assign_c3(flat: dict, sd: dict, src: str, dst: str) -> None:
         i += 1
 
 
+# --- minimal ONNX protobuf wire parser (no onnx package needed) -----------
+#
+# ONNX files are protobuf ModelProto messages; weight conversion only needs
+# the graph's initializer tensors, which live at ModelProto.graph (field 7)
+# -> GraphProto.initializer (field 5, repeated TensorProto). TensorProto:
+# dims=1, data_type=2, float_data=4, int32_data=5, int64_data=7, name=8,
+# raw_data=9, double_data=10. Parsing that subset of the wire format is
+# ~60 lines -- cheaper than depending on the (absent) onnx wheel.
+
+_ONNX_DTYPES = {1: np.float32, 2: np.uint8, 3: np.int8, 4: np.uint16,
+                5: np.int16, 6: np.int32, 7: np.int64, 9: np.bool_,
+                10: np.float16, 11: np.float64, 12: np.uint32, 13: np.uint64}
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over one protobuf message.
+    value is an int for varint/fixed fields and bytes for length-delimited
+    fields."""
+    pos, n = 0, len(buf)
+    while pos < n:
+        key, pos = _read_varint(buf, pos)
+        field, wt = key >> 3, key & 7
+        if wt == 0:                      # varint
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:                    # 64-bit
+            val = int.from_bytes(buf[pos:pos + 8], "little")
+            pos += 8
+        elif wt == 2:                    # length-delimited
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:                    # 32-bit
+            val = int.from_bytes(buf[pos:pos + 4], "little")
+            pos += 4
+        else:
+            raise ValueError(f"unsupported protobuf wire type {wt}")
+        yield field, wt, val
+
+
+def _parse_tensor_proto(buf: bytes) -> tuple[str, np.ndarray]:
+    dims: list[int] = []
+    dtype_code = 1
+    name = ""
+    raw = None
+    floats: list[float] = []
+    int64s: list[int] = []
+    int32s: list[int] = []
+    doubles: list[float] = []
+    for field, wt, val in _iter_fields(buf):
+        if field == 1:
+            if wt == 2:  # packed dims
+                p = 0
+                while p < len(val):
+                    d, p = _read_varint(val, p)
+                    dims.append(d)
+            else:
+                dims.append(val)
+        elif field == 2 and wt == 0:
+            dtype_code = val
+        elif field == 4:
+            floats.extend(np.frombuffer(val, "<f4") if wt == 2
+                          else [np.uint32(val).view(np.float32)])
+        elif field == 5:
+            if wt == 2:
+                p = 0
+                while p < len(val):
+                    d, p = _read_varint(val, p)
+                    int32s.append(d)
+            else:
+                int32s.append(val)
+        elif field == 7:
+            if wt == 2:
+                p = 0
+                while p < len(val):
+                    d, p = _read_varint(val, p)
+                    int64s.append(d)
+            else:
+                int64s.append(val)
+        elif field == 8 and wt == 2:
+            name = val.decode("utf-8")
+        elif field == 9 and wt == 2:
+            raw = val
+        elif field == 10:
+            doubles.extend(np.frombuffer(val, "<f8") if wt == 2
+                           else [np.uint64(val).view(np.float64)])
+    dt = _ONNX_DTYPES.get(dtype_code, np.float32)
+    if raw is not None:
+        arr = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder("<"))
+    elif floats:
+        arr = np.asarray(floats, np.float32)
+    elif doubles:
+        arr = np.asarray(doubles, np.float64)
+    elif int64s:
+        arr = np.asarray(int64s, np.int64)
+    elif int32s:
+        arr = np.asarray(int32s, np.int32)
+    else:
+        arr = np.zeros(0, dt)
+    return name, arr.reshape(dims).astype(dt, copy=False)
+
+
+def parse_onnx_initializers(onnx_path: str) -> dict[str, np.ndarray]:
+    """Extract {name: array} initializer tensors from an ONNX file via the
+    built-in wire parser (no onnx dependency)."""
+    with open(onnx_path, "rb") as f:
+        data = f.read()
+    graph = None
+    for field, wt, val in _iter_fields(data):
+        if field == 7 and wt == 2:   # ModelProto.graph
+            graph = val
+            break
+    if graph is None:
+        raise ValueError(f"{onnx_path}: no graph found (not an ONNX file?)")
+    out: dict[str, np.ndarray] = {}
+    for field, wt, val in _iter_fields(graph):
+        if field == 5 and wt == 2:   # GraphProto.initializer
+            name, arr = _parse_tensor_proto(val)
+            out[name] = arr
+    return out
+
+
 def convert_onnx(onnx_path: str) -> dict:
     """Convert an ultralytics-exported yolov5s ONNX file to the Flax
-    variable tree. Requires the ``onnx`` package."""
+    variable tree. Uses the onnx package when present, else the built-in
+    wire parser."""
     try:
         import onnx
         from onnx import numpy_helper
-    except ImportError as e:
-        raise ImportError(
-            "onnx is not installed; cannot convert ONNX weights. Provide a "
-            "*.flax.npz file (save_params) or a torch checkpoint "
-            "(convert_torch_checkpoint) instead.") from e
-    model = onnx.load(onnx_path)
-    sd = {init.name: numpy_helper.to_array(init)
-          for init in model.graph.initializer}
+        model = onnx.load(onnx_path)
+        sd = {init.name: numpy_helper.to_array(init)
+              for init in model.graph.initializer}
+    except ImportError:
+        sd = parse_onnx_initializers(onnx_path)
     return convert_state_dict(sd)
 
 

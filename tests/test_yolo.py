@@ -64,22 +64,17 @@ def test_weights_roundtrip(tmp_path, model_vars):
         np.testing.assert_array_equal(np.asarray(flat_a[k]), flat_b[k])
 
 
-def test_convert_state_dict_roundtrip(model_vars):
-    """Invert the ultralytics->Flax mapping on our own random init, convert
-    it back, and require exact round-trip equality -- validates the
-    converter against the real module tree without needing the (absent)
-    upstream weights."""
-    from metdetpy_tpu.models.weights import convert_state_dict
-    _, variables = model_vars
-    flat = flatten_tree(variables)
-
+def _ultralytics_sd_from_flat(flat):
+    """Invert the ultralytics->Flax mapping: Flax leaves -> a torch-layout
+    state dict with model.N.* names (used to synthesize conversion
+    fixtures without the absent upstream weights)."""
     inv_layer = {v: k for k, v in
                  __import__("metdetpy_tpu.models.weights",
                             fromlist=["_LAYER_MAP"])._LAYER_MAP.items()}
     sd = {}
     for key, val in flat.items():
         parts = key.split("/")
-        coll, mod = parts[0], parts[1]
+        mod = parts[1]
         if mod.startswith("detect"):
             i = int(mod[-1])
             if parts[-1] == "kernel":
@@ -88,9 +83,6 @@ def test_convert_state_dict_roundtrip(model_vars):
                 sd[f"model.24.m.{i}.bias"] = val
             continue
         layer = inv_layer[mod]
-        sub = parts[2:-2] if len(parts) > 4 else parts[2:-2]
-        # path forms: <mod>/(cv1|cv2|cv3|m0..|conv|bn)/...
-        inner = parts[1:-2]  # module path below collection, above leaf
         torch_mod = f"model.{layer}"
         for p in parts[2:-2]:
             torch_mod += "." + (f"m.{p[1:]}" if p.startswith("m") and
@@ -102,11 +94,120 @@ def test_convert_state_dict_roundtrip(model_vars):
             name = {"scale": "weight", "bias": "bias", "mean":
                     "running_mean", "var": "running_var"}[leaf]
             sd[f"{torch_mod}.bn.{name}"] = val
+    return sd
+
+
+def test_convert_state_dict_roundtrip(model_vars):
+    """Invert the ultralytics->Flax mapping on our own random init, convert
+    it back, and require exact round-trip equality -- validates the
+    converter against the real module tree without needing the (absent)
+    upstream weights."""
+    from metdetpy_tpu.models.weights import convert_state_dict
+    _, variables = model_vars
+    flat = flatten_tree(variables)
+    sd = _ultralytics_sd_from_flat(flat)
     converted = convert_state_dict(sd)
     flat2 = flatten_tree(converted)
     assert set(flat2) == set(flat)
     for k in flat:
         np.testing.assert_array_equal(np.asarray(flat[k]), flat2[k], err_msg=k)
+
+
+# --- minimal ONNX protobuf writer (test fixture side of the wire parser) --
+
+def _pb_varint(v: int) -> bytes:
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _pb_field(num: int, wt: int, payload) -> bytes:
+    key = _pb_varint((num << 3) | wt)
+    if wt == 2:
+        return key + _pb_varint(len(payload)) + payload
+    return key + _pb_varint(payload)
+
+
+def _onnx_bytes(sd: dict) -> bytes:
+    """Serialize {name: float32 array} as a valid ONNX ModelProto holding
+    them as graph initializers (raw_data encoding, like torch.onnx)."""
+    inits = b""
+    for name, arr in sd.items():
+        arr = np.ascontiguousarray(arr, np.float32)
+        t = b""
+        for d in arr.shape:
+            t += _pb_field(1, 0, d)                      # dims
+        t += _pb_field(2, 0, 1)                          # data_type FLOAT
+        t += _pb_field(8, 2, name.encode())              # name
+        t += _pb_field(9, 2, arr.tobytes())              # raw_data
+        inits += _pb_field(5, 2, t)                      # initializer
+    graph = inits + _pb_field(2, 2, b"g")                # graph name
+    model = _pb_field(1, 0, 7)                           # ir_version
+    model += _pb_field(7, 2, graph)                      # graph
+    return model
+
+
+def test_onnx_wire_parser_roundtrip(tmp_path):
+    """parse_onnx_initializers must read back exactly what the protobuf
+    fixture writer put in (names, shapes, values)."""
+    from metdetpy_tpu.models.weights import parse_onnx_initializers
+    rng = np.random.default_rng(0)
+    sd = {"model.0.conv.weight": rng.normal(size=(8, 3, 3, 3)).astype(
+              np.float32),
+          "model.0.bn.weight": rng.normal(size=(8,)).astype(np.float32),
+          "scalar": np.float32(3.5).reshape(())}
+    path = str(tmp_path / "tiny.onnx")
+    with open(path, "wb") as f:
+        f.write(_onnx_bytes(sd))
+    parsed = parse_onnx_initializers(path)
+    assert set(parsed) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(parsed[k], sd[k], err_msg=k)
+
+
+def test_convert_onnx_full_model(tmp_path, model_vars):
+    """End-to-end ONNX conversion without the onnx package: serialize a
+    full ultralytics-layout state dict into a real ONNX file and require
+    convert_onnx to reproduce the original Flax tree exactly."""
+    from metdetpy_tpu.models.weights import convert_onnx
+    _, variables = model_vars
+    flat = flatten_tree(variables)
+    sd = _ultralytics_sd_from_flat(flat)
+    path = str(tmp_path / "yolov5s_synth.onnx")
+    with open(path, "wb") as f:
+        f.write(_onnx_bytes(sd))
+    converted = convert_onnx(path)
+    flat2 = flatten_tree(converted)
+    assert set(flat2) == set(flat)
+    for k in flat:
+        np.testing.assert_allclose(np.asarray(flat[k]), flat2[k], rtol=1e-6,
+                                   err_msg=k)
+
+
+def test_onnx_parser_on_torch_export(tmp_path):
+    """Parse an ONNX file produced by the real torch exporter (if the
+    legacy exporter works without the onnx wheel in this image)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+    m = nn.Conv2d(3, 4, 3, padding=1, bias=True)
+    path = str(tmp_path / "conv.onnx")
+    try:
+        torch.onnx.export(m, torch.zeros(1, 3, 8, 8), path,
+                          opset_version=12, dynamo=False)
+    except Exception as e:
+        pytest.skip(f"torch.onnx.export unavailable here: {e!r}")
+    from metdetpy_tpu.models.weights import parse_onnx_initializers
+    parsed = parse_onnx_initializers(path)
+    weights = {k: v for k, v in parsed.items() if v.size == 4 * 3 * 3 * 3}
+    assert weights, f"no conv weight found among {list(parsed)}"
+    w = next(iter(weights.values()))
+    np.testing.assert_allclose(w.reshape(4, 3, 3, 3),
+                               m.weight.detach().numpy(), rtol=1e-6)
 
 
 def test_nms_device_semantics():
