@@ -27,6 +27,34 @@ class SynthMeteor:
     decay_sec: float = 0.35  # afterglow decay constant
 
 
+@dataclasses.dataclass
+class SynthPlane:
+    """A plane/satellite-like distractor: a slow point light crossing the
+    frame for many seconds, optionally blinking (strobe), leaving no
+    afterglow trail. Correct detectors must NOT label these METEOR
+    (collector trapezoid scoring: duration past time_range, slow
+    fix_speed; reference collector.py:591-615)."""
+    start_sec: float
+    end_sec: float
+    pt1: tuple[int, int]
+    pt2: tuple[int, int]
+    brightness: int = 180
+    sigma: float = 1.3
+    blink_hz: float = 1.0   # 0 disables blinking
+    blink_duty: float = 0.6
+
+
+@dataclasses.dataclass
+class SynthCloud:
+    """A drifting low-frequency luminance blob with slow flicker --
+    models moonlit cloud edges that fool area-based thresholds."""
+    center: tuple[int, int]
+    sigma: float = 60.0
+    amplitude: float = 26.0
+    drift_px_per_sec: tuple[float, float] = (4.0, 1.0)
+    flicker_hz: float = 0.15
+
+
 def _draw_gaussian_dot(img: np.ndarray, x: float, y: float, amp: float,
                        sigma: float) -> None:
     h, w = img.shape
@@ -47,7 +75,10 @@ def generate_meteor_video(width: int = 960, height: int = 540,
                           fps: float = 25.0, duration_sec: float = 8.0,
                           meteors: list[SynthMeteor] | None = None,
                           n_stars: int = 120, noise_sigma: float = 4.0,
-                          seed: int = 7, color: bool = False) -> np.ndarray:
+                          seed: int = 7, color: bool = False,
+                          planes: list[SynthPlane] | None = None,
+                          clouds: list[SynthCloud] | None = None
+                          ) -> np.ndarray:
     """Render a [T, H, W] (or [T, H, W, 3]) uint8 synthetic sky video."""
     rng = np.random.default_rng(seed)
     if meteors is None:
@@ -90,6 +121,22 @@ def generate_meteor_video(width: int = 960, height: int = 540,
         # afterglow decay
         if meteors:
             glow *= math.exp(-1.0 / (fps * meteors[0].decay_sec))
+        for p in (planes or []):
+            if p.start_sec <= tsec <= p.end_sec:
+                if p.blink_hz > 0:
+                    phase = (tsec * p.blink_hz) % 1.0
+                    if phase > p.blink_duty:
+                        continue
+                frac = (tsec - p.start_sec) / (p.end_sec - p.start_sec)
+                px = p.pt1[0] + (p.pt2[0] - p.pt1[0]) * frac
+                py = p.pt1[1] + (p.pt2[1] - p.pt1[1]) * frac
+                _draw_gaussian_dot(frame, px, py, p.brightness, p.sigma)
+        for c in (clouds or []):
+            cx = c.center[0] + c.drift_px_per_sec[0] * tsec
+            cy = c.center[1] + c.drift_px_per_sec[1] * tsec
+            amp = c.amplitude * (0.75 + 0.25 * math.sin(
+                2 * math.pi * c.flicker_hz * tsec))
+            _draw_gaussian_dot(frame, cx, cy, amp, c.sigma)
         noise = rng.normal(0, noise_sigma, (height, width)).astype(np.float32)
         frames[t] = np.clip(frame + noise, 0, 255).astype(np.uint8)
     if color:
