@@ -11,6 +11,7 @@ import pytest
 from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video, write_video
 
 W, H, FPS = 192, 108, 25.0
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -185,3 +186,22 @@ def test_evaluate_run_path_with_performance(synth_mp4, tmp_path):
     data = json.loads(out.read_text())
     assert "performance" in data and data["performance"]["tot_time"] > 0
     assert "cpu_core" in data["performance"]
+
+
+def test_zipapp_freeze_builds_and_runs(tmp_path):
+    """make_package_zipapp (the pyinstaller-onefile analog, reference
+    make_package_pyinstaller.py role) must produce a runnable single-file
+    tool."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "make_package_zipapp.py", "--out", str(tmp_path),
+         "--tools", "evaluate.py"],
+        capture_output=True, text=True, cwd=REPO_ROOT, timeout=300)
+    assert out.returncode == 0, out.stderr[-500:]
+    pyz = tmp_path / "evaluate.pyz"
+    assert pyz.exists()
+    res = subprocess.run([sys.executable, str(pyz), "--help"],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-500:]
+    assert "MetDetPy-TPU" in res.stdout
