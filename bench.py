@@ -150,9 +150,78 @@ def bench_device_only(frames_540p: "np.ndarray", n_blocks: int = 16):
     return best
 
 
+def bench_multistream_sharded():
+    """shard_map multistream: S streams, one mesh shard each
+    (parallel/multistream.py) -- the BASELINE config-#5 scale-out path.
+    On the 1-chip dev tunnel this forces a virtual 8-device CPU mesh, so
+    the recorded number is a CORRECTNESS + mechanism artifact (collectives
+    compile and run; every stream's meteor must be found), not chip
+    throughput; on a real v5e slice the same code places one stream per
+    chip over ICI."""
+    n_streams = int(os.environ.get("BENCH_STREAMS", 8))
+    # must run BEFORE anything queries jax.devices() (that would pin the
+    # 1-chip axon backend); on a real multi-chip slice set
+    # BENCH_SHARDED_REAL=1 to keep the TPU backend
+    if os.environ.get("BENCH_SHARDED_REAL") != "1":
+        from metdetpy_tpu.parallel.mesh import force_cpu_devices
+        if not force_cpu_devices(n_streams):
+            sys.stderr.write("[bench] backend already initialized; cannot "
+                             "force a virtual mesh\n")
+    import jax
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.parallel.mesh import build_mesh
+    from metdetpy_tpu.parallel.multistream import detect_multi_stream
+    from metdetpy_tpu.structs import MainDetectCfg, RuntimeParams
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+    from metdetpy_tpu.utils import relative2abs_path
+
+    # small frames + capped point budget keep the (slow, uncached-on-CPU)
+    # shard_map compile tractable on the virtual mesh; real-slice runs can
+    # raise both via env
+    w = int(os.environ.get("BENCH_SHARDED_W", 320))
+    h = int(os.environ.get("BENCH_SHARDED_H", 180))
+    fps = 25.0
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 8.0))
+    streams = [generate_meteor_video(
+        width=w, height=h, fps=fps, duration_sec=n_seconds,
+        meteors=[SynthMeteor(2.4, 4.4, (w // 2, h // 4),
+                             (w // 3, h // 2))],
+        n_stars=60, noise_sigma=3.0, seed=s) for s in range(n_streams)]
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.collector.recheck_cfg.switch = False
+    rt = RuntimeParams(fps=fps, exp_frame=1, eq_fps=fps,
+                       eq_int_fps=int(fps), exp_time=1 / fps,
+                       runtime_size=[w, h], raw_size=[w, h],
+                       positive_category_list=["METEOR"])
+    mesh = build_mesh(n_streams, axis_name="stream")
+    t0 = time.time()
+    results = detect_multi_stream(streams, cfg, rt, BaseMetLog(),
+                                  mesh=mesh, block_frames=64,
+                                  max_points=2048, max_peaks=16)
+    dt = time.time() - t0
+    n_frames = min(s.shape[0] for s in streams) // 64 * 64
+    hits = sum(1 for recs in results
+               if any(t.category == "METEOR"
+                      for r in recs for t in r.target))
+    print(json.dumps({
+        "metric": f"{n_streams}x{h}p_sharded_multistream_agg_fps",
+        "value": round(n_streams * n_frames / dt, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(n_streams * n_frames / dt / REFERENCE_FPS, 2),
+        "streams_with_meteor": hits,
+        "n_streams": n_streams,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
 def main():
-    if os.environ.get("BENCH_MODE") == "multistream":
+    mode = os.environ.get("BENCH_MODE")
+    if mode == "multistream":
         bench_multistream()
+        return
+    if mode == "multistream_sharded":
+        bench_multistream_sharded()
         return
     from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
 

@@ -144,7 +144,8 @@ class MultiStreamM3Detector:
 def detect_multi_stream(stream_frames: Sequence[np.ndarray], cfg,
                         rt_params, logger: BaseMetLog,
                         mesh: Optional[Mesh] = None,
-                        block_frames: int = 64):
+                        block_frames: int = 64,
+                        max_points: int = 8192, max_peaks: int = 64):
     """Run S in-memory streams through one sharded pipeline with per-stream
     collectors; returns per-stream SingleMDRecord lists.
 
@@ -159,7 +160,8 @@ def detect_multi_stream(stream_frames: Sequence[np.ndarray], cfg,
     mask = np.ones((h, w), np.uint8)
     det = MultiStreamM3Detector(
         s, cfg.detector.window_sec, rt_params.eq_fps, mask,
-        num_cls=_num_cls(), cfg=cfg.detector.cfg, logger=logger, mesh=mesh)
+        num_cls=_num_cls(), cfg=cfg.detector.cfg, logger=logger, mesh=mesh,
+        max_points=max_points, max_peaks=max_peaks)
     collectors = [
         MeteorCollector(cfg.collector, rt_params, video_loader=None,
                         logger=logger) for _ in range(s)]
