@@ -32,6 +32,7 @@ from ..log import get_default_logger
 from ..structs import BasicInfo
 from ..utils import (frame2time, parse_resize_param, sigma_clip, time2frame,
                      timestr2int)
+from ..native import resize_assemble_u8 as _resize_assemble_u8
 from ..native import u8_max_inplace as _u8_max_inplace
 from .fileio import load_mask
 from .videowrapper import BaseVideoWrapper
@@ -613,9 +614,43 @@ class BlockVideoLoader(VanillaVideoLoader):
                 raw_left -= len(chunk)
                 t0 = _time.perf_counter() if stats is not None else 0.0
                 if direct:
+                    # gray unmasked chunks assemble through ONE native
+                    # call (cv2-bit-exact resize + exposure merge, GIL
+                    # released for the whole chunk); anything else goes
+                    # through the per-frame into() path
+                    native_ok = (chunk[0].ndim == 2
+                                 and not self.preprocess.masked)
                     if (resize_scratch is None and chunk[0].ndim == 3
                             and self.preprocess.resize):
                         resize_scratch = np.zeros((h, w, 3), np.uint8)
+                    if native_ok:
+                        pending_gray.extend(chunk)
+                        while len(pending_gray) >= e:
+                            g = min(len(pending_gray) // e,
+                                    self.block_frames - n_in_block)
+                            take = pending_gray[:g * e]
+                            pending_gray = pending_gray[g * e:]
+                            scratch = merge_scratch if e > 1 else None
+                            _resize_assemble_u8(take, block, n_in_block,
+                                                e, scratch)
+                            n_in_block += g
+                            merged_idx += g
+                            if n_in_block == self.block_frames:
+                                if stats is not None:
+                                    stats["merge"] += (_time.perf_counter()
+                                                       - t0)
+                                    t0 = _time.perf_counter()
+                                self._put_block(block)
+                                pool_idx = (pool_idx + 1) % pool_size
+                                block = block_pool[pool_idx]
+                                n_in_block = 0
+                                if stats is not None:
+                                    stats["qput"] += (_time.perf_counter()
+                                                      - t0)
+                                    t0 = _time.perf_counter()
+                        if stats is not None:
+                            stats["merge"] += _time.perf_counter() - t0
+                        continue
                     for raw in chunk:
                         slot = block[n_in_block]
                         if e == 1:

@@ -58,6 +58,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                          ctypes.c_size_t, ctypes.c_char_p]
     lib.metring_bgr2gray.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                      ctypes.c_char_p]
+    lib.metring_resize_linear_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.metring_resize_assemble_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p]
     _lib = lib
     return _lib
 
@@ -161,3 +168,69 @@ def bgr2gray(bgr: np.ndarray) -> np.ndarray:
         return out
     import cv2
     return cv2.cvtColor(bgr, cv2.COLOR_BGR2GRAY)
+
+
+def resize_linear_u8(src: np.ndarray, dsize: tuple[int, int],
+                     dst: Optional[np.ndarray] = None) -> np.ndarray:
+    """u8 grayscale bilinear resize, bit-exact with cv2.resize
+    INTER_LINEAR (fixed-point 11-bit path). dsize is (w, h) like cv2.
+    Falls back to cv2 when the native library is unavailable."""
+    w, h = dsize
+    lib = get_lib()
+    if dst is None:
+        dst = np.empty((h, w), np.uint8)
+    # bit-exactness with cv2 is verified for DOWNSCALE (the only case the
+    # pipeline hits: runtime size <= raw size); cv2's upscale path rounds
+    # differently, so defer to it there
+    if (lib is not None and src.flags.c_contiguous
+            and dst.flags.c_contiguous and src.ndim == 2
+            and h <= src.shape[0] and w <= src.shape[1]):
+        lib.metring_resize_linear_u8(_ptr(src), src.shape[0], src.shape[1],
+                                     _ptr(dst), h, w)
+        return dst
+    import cv2
+    cv2.resize(src, dsize, dst=dst, interpolation=cv2.INTER_LINEAR)
+    return dst
+
+
+def resize_assemble_u8(frames: list, block: np.ndarray, n_start: int,
+                       exp_frame: int = 1,
+                       scratch: Optional[np.ndarray] = None) -> int:
+    """Resize + exposure-max-merge a chunk of gray frames into consecutive
+    block slots in ONE native call (one GIL release for the whole chunk:
+    under active TPU-client streaming, per-frame Python work measured
+    10-40x slower than the same work batched in C).
+
+    frames: list of [sh, sw] u8 contiguous arrays, length a multiple of
+    exp_frame. block: [*, dh, dw] u8; writes len(frames)//exp_frame slots
+    starting at n_start. Returns slots written; falls back to per-frame
+    cv2 when the native library is missing.
+    """
+    n = len(frames)
+    dh, dw = block.shape[1], block.shape[2]
+    n_out = n // exp_frame
+    lib = get_lib()
+    if (lib is not None and all(f.flags.c_contiguous for f in frames)
+            and dh <= frames[0].shape[0] and dw <= frames[0].shape[1]):
+        ptrs = (ctypes.c_void_p * n)(*[f.ctypes.data for f in frames])
+        if scratch is None and exp_frame > 1:
+            scratch = np.empty((dh, dw), np.uint8)
+        sp = _ptr(scratch) if scratch is not None else None
+        dst_view = block[n_start:]
+        lib.metring_resize_assemble_u8(
+            ptrs, n, frames[0].shape[0], frames[0].shape[1],
+            _ptr(dst_view), dh, dw, exp_frame, sp)
+        return n_out
+    import cv2
+    for g in range(n_out):
+        slot = block[n_start + g]
+        for k in range(exp_frame):
+            f = frames[g * exp_frame + k]
+            if k == 0:
+                cv2.resize(f, (dw, dh), dst=slot,
+                           interpolation=cv2.INTER_LINEAR)
+            else:
+                tmp = cv2.resize(f, (dw, dh),
+                                 interpolation=cv2.INTER_LINEAR)
+                np.maximum(slot, tmp, out=slot)
+    return n_out
