@@ -261,14 +261,36 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         except ImportError:
             pass
 
+    consecutive_failures = 0
+
     def consume(entry):
-        nonlocal merged_idx, last_ckpt
+        nonlocal merged_idx, last_ckpt, consecutive_failures
         fut, block, n_real = entry
-        with timer.stage("collect"):
-            if fut is not None:
-                results = fut.result()[:n_real]
-            else:
-                results = detector.process_block(block)[:n_real]
+        try:
+            with timer.stage("collect"):
+                if fut is not None:
+                    results = fut.result()[:n_real]
+                else:
+                    results = detector.process_block(block)[:n_real]
+            consecutive_failures = 0
+        except Exception as exc:
+            # device/backend failure recovery (SURVEY §5.3; the tunneled
+            # TPU occasionally throws transient FAILED_PRECONDITION):
+            # drop this block's results, reinitialize the detector's
+            # device state (window/EMA warmup restarts; collector history
+            # is host-side and survives) and keep going. Persistent
+            # failure still aborts.
+            consecutive_failures += 1
+            logger.error(
+                f"{exc!r} while processing a frame block; resetting "
+                f"device state and continuing "
+                f"({consecutive_failures} consecutive failure(s)).")
+            if consecutive_failures >= 3 or not hasattr(
+                    detector, "reset_device_state"):
+                raise
+            detector.reset_device_state()
+            results = [(np.zeros((0, 4), int),
+                        np.zeros((0, detector.num_cls)))] * n_real
         timer.add_frames(n_real * e)
         if progress is not None:
             progress.update(n_real)

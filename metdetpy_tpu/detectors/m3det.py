@@ -260,6 +260,24 @@ class LineDetector(BaseDetector):
         self._last: Optional[FrameResult] = None
         self._visu_state: dict = {}
 
+    def reset_device_state(self) -> None:
+        """Reinitialize all device-resident carries (window/sub-ROI/
+        dynamic-mask histories, EMA, frame timer). Used by the block
+        loop's failure recovery after a device/backend fault: detection
+        restarts its warmup while the host-side collector keeps its
+        accumulated tracks."""
+        h, w = self.hw
+        self.timer = 0
+        self._gray_hist = jnp.zeros((self.n - 1, h, w), dtype=jnp.uint8)
+        r1, c1, r2, c2 = self.std_roi
+        self._sub_hist = jnp.zeros((self.n - 1, r2 - r1, c2 - c1),
+                                   dtype=jnp.uint8)
+        self._dy_hist = jnp.zeros((self.n - 1, h, w), dtype=jnp.uint8)
+        self._ema = EmaState.init(self.noise_momentum,
+                                  float(self.bi_threshold))
+        self._pending = []
+        self._last = None
+
     # -- async block API -------------------------------------------------
 
     def process_block_async(self, block: np.ndarray) -> Any:
@@ -427,6 +445,10 @@ class ClassicDetector(LineDetector):
         # (reference MetLib/Detector.py:249-255)
         super().__init__(self.CLASSIC_WINDOW / fps, fps, mask, num_cls, cfg,
                          logger, **kw)
+        self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)
+
+    def reset_device_state(self) -> None:
+        super().reset_device_state()
         self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)
 
     def process_block_async(self, block: np.ndarray) -> Any:

@@ -83,3 +83,47 @@ def test_frame_loop_loader_parity(synth_frames):
     meteors = [t for rec in mdrf.results for t in rec.target
                if t.category == "METEOR"]
     assert len(meteors) >= 1
+
+
+def test_device_failure_recovery(synth_frames, monkeypatch):
+    """A transient device/backend fault mid-run (the tunneled TPU throws
+    occasional FAILED_PRECONDITION) must not kill detection: the block
+    loop drops the failed block, resets the detector's device state and
+    continues; the meteor in a later block is still found."""
+    from metdetpy_tpu.detectors.m3det import M3Detector
+
+    orig_collect = M3Detector.collect
+    state = {"calls": 0, "resets": 0}
+
+    def flaky_collect(self, handle):
+        state["calls"] += 1
+        if state["calls"] == 1:  # first block (pre-meteor) fails
+            raise RuntimeError("injected FAILED_PRECONDITION")
+        return orig_collect(self, handle)
+
+    orig_reset = M3Detector.reset_device_state
+
+    def counting_reset(self):
+        state["resets"] += 1
+        return orig_reset(self)
+
+    monkeypatch.setattr(M3Detector, "collect", flaky_collect)
+    monkeypatch.setattr(M3Detector, "reset_device_state", counting_reset)
+    cfg = _base_cfg()
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    assert state["resets"] == 1
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1, "meteor lost after recovered fault"
+
+
+def test_persistent_device_failure_aborts(synth_frames, monkeypatch):
+    from metdetpy_tpu.detectors.m3det import M3Detector
+
+    def always_fail(self, handle):
+        raise RuntimeError("persistent backend failure")
+
+    monkeypatch.setattr(M3Detector, "collect", always_fail)
+    cfg = _base_cfg()
+    with pytest.raises(RuntimeError, match="persistent backend failure"):
+        detect_video(synth_frames, None, cfg, work_mode="backend")
