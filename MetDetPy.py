@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Detect at approximately recording speed.")
     parser.add_argument("--save-path", type=str, default=None,
                         help="Save detection results as a json file.")
+    parser.add_argument(
+        "--temporal-shards", type=int, default=None,
+        help="Batch mode: decode the whole video into memory and detect "
+             "with the time axis sharded over N mesh devices (default: "
+             "streaming block pipeline).")
     return parser
 
 
@@ -82,10 +87,18 @@ def main() -> None:
         cfg.collector.recheck_cfg.switch = SWITCH2BOOL[args.recheck]
     live_mode = SWITCH2BOOL[args.live_mode] if args.live_mode else False
 
-    result = detect_video(args.target, args.mask, cfg, args.debug,
-                          args.visual, work_mode=args.mode,
-                          time_range=(args.start_time, args.end_time),
-                          live_mode=live_mode, provider_key=args.provider)
+    if args.temporal_shards:
+        from metdetpy_tpu.api import detect_video_temporal
+        result = detect_video_temporal(
+            args.target, args.mask, cfg, n_shards=args.temporal_shards,
+            work_mode=args.mode,
+            time_range=(args.start_time, args.end_time))
+    else:
+        result = detect_video(args.target, args.mask, cfg, args.debug,
+                              args.visual, work_mode=args.mode,
+                              time_range=(args.start_time, args.end_time),
+                              live_mode=live_mode,
+                              provider_key=args.provider)
     if args.save_path:
         save_path = save_path_handler(args.save_path, args.target, ext="json")
         with open(save_path, mode="w", encoding="utf-8") as f:

@@ -189,6 +189,91 @@ def detect_video(video_name: str, mask_name: Optional[str],
                 performance={k: v for k, v in timer.summary().items()})
 
 
+def detect_video_temporal(video_name: str, mask_name: Optional[str],
+                          cfg: MainDetectCfg, n_shards: Optional[int] = None,
+                          work_mode: str = "backend",
+                          time_range: tuple[Optional[str],
+                                            Optional[str]] = (None, None)
+                          ) -> MDRF:
+    """Batch detection with the time axis sharded over the device mesh.
+
+    Decodes + preprocesses the whole (windowed) video into one in-memory
+    [T, H, W] array, then runs the COMPLETE fused detect step time-sharded
+    (parallel.temporal.detect_frames_temporal): on an N-chip slice an
+    N-times-longer clip finishes in the same device wall time. Offline
+    complement to the streaming detect_video loop; requires a grayscale
+    classic-detector config and enough host RAM for the clip.
+    """
+    import jax
+
+    from .parallel.mesh import build_mesh
+    from .parallel.temporal import detect_frames_temporal
+
+    set_default_logger(False, work_mode)
+    logger = get_default_logger()
+    logger.start()
+    try:
+        LoaderCls = get_loader(cfg.loader.name)
+        WrapperCls = get_wrapper(cfg.loader.wrapper)
+        assert cfg.loader.grayscale, (
+            "temporal batch detection requires a grayscale "
+            "(classic-detector) config")
+        start_time, end_time = time_range
+        video_loader = LoaderCls(
+            WrapperCls, video_name, mask_name=mask_name,
+            resize_option=cfg.loader.resize, hwaccel=cfg.loader.hwaccel,
+            start_time=start_time, end_time=end_time, grayscale=True,
+            exp_option=cfg.loader.exp_time,
+            exp_upper_bound=cfg.loader.upper_bound,
+            merge_func=cfg.loader.merge_func,
+            continue_on_err=cfg.loader.continue_on_err)
+        video_info = video_loader.summary()
+        logger.info(repr(video_loader))
+        rt_param = RuntimeParams(
+            fps=video_loader.fps, exp_frame=video_loader.exp_frame,
+            eq_fps=video_loader.eq_fps, eq_int_fps=video_loader.eq_int_fps,
+            exp_time=video_loader.exp_time,
+            runtime_size=video_loader.runtime_size,
+            raw_size=video_loader.raw_size,
+            positive_category_list=ClipCfg.from_json_file(
+                get_clip_config_path()).export.positive_category_list)
+
+        # decode + preprocess the full window into memory
+        chunks = []
+        video_loader.start()
+        if hasattr(video_loader, "pop_block"):
+            while True:
+                blk = video_loader.pop_block()
+                if blk is None:
+                    break
+                chunks.append(blk)
+        else:
+            while not video_loader.stopped:
+                f = video_loader.pop()
+                if f is None:
+                    break
+                chunks.append(f[None])
+        video_loader.release()
+        if not chunks:
+            raise ValueError("no frames decoded")
+        frames = np.concatenate(chunks, axis=0)
+        del chunks
+
+        n = n_shards or len(jax.devices())
+        mesh = build_mesh(n, axis_name="time")
+        records, used = detect_frames_temporal(
+            frames, cfg, fps=rt_param.eq_fps, mask=video_loader.mask
+            if mask_name else None, mesh=mesh, logger=logger,
+            rt_params=rt_param)
+        logger.info(f"Temporal batch detection: {used} merged frames over "
+                    f"{n} shards.")
+    finally:
+        logger.stop()
+    return MDRF(version=VERSION, basic_info=video_info, config=cfg,
+                type="prediction", anno_size=video_info.resolution,
+                results=records)
+
+
 def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                     work_mode, live_mode, visual_mode, visual_manager,
                     logger, t0, timer=None, resume_idx: int = 0,

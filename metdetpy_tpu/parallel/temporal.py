@@ -216,7 +216,7 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
                            mesh: Optional[Mesh] = None,
                            axis_name: str = "time",
                            max_points: int = 8192, max_peaks: int = 64,
-                           logger=None):
+                           logger=None, rt_params=None):
     """Batch-detect a whole in-memory clip with the time axis sharded
     over the mesh: ONE sharded device program produces every frame's
     lines, then the host collector runs over the gathered results.
@@ -269,14 +269,15 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
         axis_name=axis_name, init_threshold=float(init_thr))
 
     num_cls = get_num_class()
-    rt = RuntimeParams(fps=fps, exp_frame=1, eq_fps=fps,
-                       eq_int_fps=int(fps), exp_time=1 / fps,
-                       runtime_size=[w, h], raw_size=[w, h],
-                       positive_category_list=["METEOR"])
+    rt = rt_params if rt_params is not None else RuntimeParams(
+        fps=fps, exp_frame=1, eq_fps=fps, eq_int_fps=int(fps),
+        exp_time=1 / fps, runtime_size=[w, h], raw_size=[w, h],
+        positive_category_list=["METEOR"])
     collector = MeteorCollector(cfg.collector, rt, video_loader=None,
                                 logger=logger)
     lines_all, valid_all, extras = _unpack(np.asarray(packed), max_peaks)
-    eq_int_fps = max(int(fps), 1)
+    eq_int_fps = max(int(rt.eq_int_fps), 1)
+    e = max(int(rt.exp_frame), 1)
     for t in range(t_total):
         fl = lines_all[t][valid_all[t]]
         if extras[t, 2] > 0.5 or len(fl) > NUM_LINES_TOOMUCH:
@@ -286,9 +287,9 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
             cls_pred = np.zeros((len(nms_lines), num_cls))
             cls_pred[:, -1] = nonline
             cls_pred[:, 0] = 1 - nonline
-            collector.update(t, nms_lines, cls_pred)
+            collector.update(t * e, nms_lines, cls_pred)
         elif t % eq_int_fps == 0:
-            collector.update(t, np.zeros((0, 4), int),
+            collector.update(t * e, np.zeros((0, 4), int),
                              np.zeros((0, num_cls)))
     collector.clear()
     return collector.met_exporter.meteor_list, t_total
