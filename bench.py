@@ -221,6 +221,52 @@ def bench_multistream_sharded():
     }))
 
 
+def bench_yolo():
+    """Device-only Flax YOLOv5s throughput (the MLDetector / recheck /
+    MetDetPhoto compute path): batched forward+decode on HBM-resident
+    inputs, fetch-free (first in process -- see the d2h note in
+    bench_device_only), best of 5."""
+    import jax
+    import jax.numpy as jnp
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.models.yolo import YOLOModel
+    from metdetpy_tpu.utils import relative2abs_path
+
+    # measured batch scaling on the dev chip: 566 (b16) / 2478 (b64) /
+    # 9713 (b256) imgs/sec -- small-conv launches are dispatch-bound until
+    # the batch is large, so serve/recheck pipelines should batch big
+    batch = int(os.environ.get("BENCH_YOLO_BATCH", 256))
+    model = YOLOModel(
+        weight_path=relative2abs_path("./weights/yolov5s_v5.flax.npz"),
+        dtype="bfloat16", nms=False, warmup=False, multiscale_pred=0,
+        logger=BaseMetLog(), input_hw=(320, 320))
+    h, w = model.h, model.w
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.random((batch, h, w, 3)).astype(np.float32))
+    jax.block_until_ready(x)
+    from metdetpy_tpu.models.yolo import _forward_decode
+    out = _forward_decode(model.variables, x, model.nc, model._apply)
+    jax.block_until_ready(out)
+
+    n_iters = 32
+    best = 0.0
+    for _ in range(5):
+        t0 = time.time()
+        outs = [_forward_decode(model.variables, x, model.nc, model._apply)
+                for _ in range(n_iters)]
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        best = max(best, n_iters * batch / dt)
+    print(json.dumps({
+        "metric": f"yolov5s_{h}x{w}_bf16_imgs_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "batch": batch,
+    }))
+
+
 def main():
     mode = os.environ.get("BENCH_MODE")
     if mode == "multistream":
@@ -228,6 +274,9 @@ def main():
         return
     if mode == "multistream_sharded":
         bench_multistream_sharded()
+        return
+    if mode == "yolo":
+        bench_yolo()
         return
     from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
 
