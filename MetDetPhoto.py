@@ -31,8 +31,12 @@ from metdetpy_tpu.visu import (DrawRectVisu, OpenCVMetVisu, SquareColorPair,
 
 SUPPORT_VIDEO_FORMAT = ["avi", "mp4", "mkv", "mpeg"]
 EXCLUDE_LIST = ["PLANE/SATELLITE", "BUGS"]
-# same-shape photos/timelapse frames batched into one device forward
-PHOTO_BATCH_SIZE = 8
+# same-shape photos/timelapse frames batched into one device forward.
+# Measured YOLOv5s batch scaling on v5e (bench.py BENCH_MODE=yolo):
+# 566 imgs/s at effective batch 16 vs 9713 at 256 -- small-conv dispatch
+# dominates until batches are large, so batch as big as memory allows
+# (each image contributes multiscale_pred tile-pyramid members too).
+PHOTO_BATCH_SIZE = int(os.environ.get("METDETPY_TPU_PHOTO_BATCH", 32))
 DEFAULT_COLOR = (64, 64, 64)
 DEFAULT_VISUAL_WINDOW_SIZE = [960, 540]
 CATE2COLOR_MAPPING = {
