@@ -165,6 +165,34 @@ def max_stacker(video_loader, start_frame=None, end_frame=None, logger=None):
 # ---------------------------------------------------------------------------
 
 
+DEVICE_MEDIAN_MIN_ELEMS = 64 << 20  # ~64M elements: device pays off
+
+
+def stack_median(img_list: list[np.ndarray]) -> np.ndarray:
+    """Median over a frame stack; large stacks sort on the accelerator.
+
+    The exact-median background estimate is the dominant cost of the
+    MFNR export path (the reference reports mfnr-mix >5x slower than a
+    plain max stack, docs/update-log.md:154) -- np.median sorts the
+    whole [T, H, W, 3] stack on one host core. Above the size gate the
+    sort runs on the device instead (identical mean-of-two-middles
+    semantics, f32 accumulation); small stacks and import failures fall
+    back to numpy.
+    """
+    n_elems = len(img_list) * int(np.prod(img_list[0].shape))
+    if n_elems >= DEVICE_MEDIAN_MIN_ELEMS:
+        try:
+            import jax
+            import jax.numpy as jnp
+            stack = jnp.asarray(np.stack(img_list))
+            out = np.asarray(jax.jit(lambda x: jnp.median(
+                x.astype(jnp.float32), axis=0))(stack))
+            return out.astype(np.float64)
+        except Exception:
+            pass
+    return np.median(img_list, axis=0)
+
+
 def median_of_medians(img_list: list[np.ndarray],
                       block_size: Optional[int] = None) -> np.ndarray:
     """Memory-bounded approximate median (reference
@@ -172,8 +200,8 @@ def median_of_medians(img_list: list[np.ndarray],
     if block_size is None:
         block_size = int(len(img_list) ** 0.5)
     block_num = (len(img_list) - 1) // block_size + 1
-    medians = [np.median(img_list[i * block_size:(i + 1) * block_size],
-                         axis=0) for i in range(block_num)]
+    medians = [stack_median(img_list[i * block_size:(i + 1) * block_size])
+               for i in range(block_num)]
     return np.median(medians, axis=0)
 
 
@@ -320,7 +348,7 @@ def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
         est_bg_var = float(np.mean(np.sqrt(init_fg.var)))
     else:
         if mfnr.bg_algorithm == "median" or len(img_stack) <= 16:
-            est_bg_mu = np.median(img_stack, axis=0)
+            est_bg_mu = stack_median(img_stack)
         else:
             est_bg_mu = median_of_medians(img_stack)
         est_bg_var = float(np.mean(np.sqrt(init_fg.var)))

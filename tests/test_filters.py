@@ -53,3 +53,20 @@ def test_morphology_grayscale_matches_cv2(rng):
     np.testing.assert_array_equal(
         np.asarray(filters.close3x3(img)),
         cv2.morphologyEx(img, cv2.MORPH_CLOSE, kernel))
+
+
+def test_stack_median_device_path_matches_numpy(rng, monkeypatch):
+    """The device median fast path must match np.median exactly for u8
+    stacks (mean of two middle values at even T is exactly representable
+    in f32 for u8 inputs)."""
+    from metdetpy_tpu.ops import stack as stk
+    frames = [rng.integers(0, 256, (37, 53, 3), np.uint8)
+              for _ in range(12)]
+    ref = np.median(frames, axis=0)
+    monkeypatch.setattr(stk, "DEVICE_MEDIAN_MIN_ELEMS", 0)  # force device
+    got = stk.stack_median(frames)
+    np.testing.assert_array_equal(ref, got)
+    # odd count too
+    ref = np.median(frames[:11], axis=0)
+    got = stk.stack_median(frames[:11])
+    np.testing.assert_array_equal(ref, got)
