@@ -246,7 +246,10 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
                 blk = video_loader.pop_block()
                 if blk is None:
                     break
-                chunks.append(blk)
+                # BlockVideoLoader recycles a fixed pool of block buffers;
+                # a retained reference would be overwritten once the
+                # producer laps the pool (~pool_size blocks), so copy.
+                chunks.append(np.array(blk, copy=True))
         else:
             while not video_loader.stopped:
                 f = video_loader.pop()
@@ -316,6 +319,13 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 if use_async else None)
     inflight: "collections.deque" = collections.deque()
 
+    # device_epoch tags each dispatched block with the device-state
+    # generation it was issued under; a reset bumps it so that failures
+    # of blocks dispatched BEFORE the reset (poisoned by the same
+    # transient fault) are zero-filled without counting toward the
+    # consecutive-failure abort limit.
+    device_epoch = 0
+
     def dispatch(raw_block):
         """Pad, start the async host->device transfer, enqueue the device
         step, and hand the result handle to a collect worker."""
@@ -334,8 +344,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 use_async = False
             else:
                 fut = executor.submit(detector.collect, handle)
-                return fut, blk, n_real
-        return None, blk, n_real
+                return fut, blk, n_real, device_epoch
+        return None, blk, n_real, device_epoch
 
     progress = None
     if work_mode == "frontend":
@@ -349,8 +359,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     consecutive_failures = 0
 
     def consume(entry):
-        nonlocal merged_idx, last_ckpt, consecutive_failures
-        fut, block, n_real = entry
+        nonlocal merged_idx, last_ckpt, consecutive_failures, device_epoch
+        fut, block, n_real, epoch = entry
         try:
             with timer.stage("collect"):
                 if fut is not None:
@@ -365,17 +375,28 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
             # device state (window/EMA warmup restarts; collector history
             # is host-side and survives) and keep going. Persistent
             # failure still aborts.
-            consecutive_failures += 1
-            logger.error(
-                f"{exc!r} while processing a frame block; resetting "
-                f"device state and continuing "
-                f"({consecutive_failures} consecutive failure(s)).")
-            if consecutive_failures >= 3 or not hasattr(
-                    detector, "reset_device_state"):
-                raise
-            detector.reset_device_state()
-            results = [(np.zeros((0, 4), int),
-                        np.zeros((0, detector.num_cls)))] * n_real
+            if epoch < device_epoch:
+                # dispatched before the last reset: one transient fault
+                # poisons every already-inflight handle, so these fail
+                # back-to-back by construction -- zero-fill them without
+                # counting toward the abort limit.
+                logger.warning(
+                    f"{exc!r} on a pre-reset inflight block; dropped.")
+                results = [(np.zeros((0, 4), int),
+                            np.zeros((0, detector.num_cls)))] * n_real
+            else:
+                consecutive_failures += 1
+                logger.error(
+                    f"{exc!r} while processing a frame block; resetting "
+                    f"device state and continuing "
+                    f"({consecutive_failures} consecutive failure(s)).")
+                if consecutive_failures >= 3 or not hasattr(
+                        detector, "reset_device_state"):
+                    raise
+                detector.reset_device_state()
+                device_epoch += 1
+                results = [(np.zeros((0, 4), int),
+                            np.zeros((0, detector.num_cls)))] * n_real
         timer.add_frames(n_real * e)
         if progress is not None:
             progress.update(n_real)

@@ -132,6 +132,13 @@ def _iter_fields(buf: bytes):
         yield field, wt, val
 
 
+def _varint_to_signed(val: int) -> int:
+    """Fold a raw protobuf varint to a signed int: negative int32/int64
+    values are wire-encoded as 10-byte two's-complement varints (so -1
+    arrives as 2**64-1)."""
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
 def _parse_tensor_proto(buf: bytes) -> tuple[str, np.ndarray]:
     dims: list[int] = []
     dtype_code = 1
@@ -160,17 +167,17 @@ def _parse_tensor_proto(buf: bytes) -> tuple[str, np.ndarray]:
                 p = 0
                 while p < len(val):
                     d, p = _read_varint(val, p)
-                    int32s.append(d)
+                    int32s.append(_varint_to_signed(d))
             else:
-                int32s.append(val)
+                int32s.append(_varint_to_signed(val))
         elif field == 7:
             if wt == 2:
                 p = 0
                 while p < len(val):
                     d, p = _read_varint(val, p)
-                    int64s.append(d)
+                    int64s.append(_varint_to_signed(d))
             else:
-                int64s.append(val)
+                int64s.append(_varint_to_signed(val))
         elif field == 8 and wt == 2:
             name = val.decode("utf-8")
         elif field == 9 and wt == 2:
