@@ -33,6 +33,8 @@ from ..structs import BasicInfo
 from ..utils import (frame2time, parse_resize_param, sigma_clip, time2frame,
                      timestr2int)
 from ..native import resize_assemble_u8 as _resize_assemble_u8
+from ..native import \
+    resize_bgr2gray_assemble_u8 as _resize_bgr2gray_assemble_u8
 from ..native import u8_max_inplace as _u8_max_inplace
 from .fileio import load_mask
 from .videowrapper import BaseVideoWrapper
@@ -614,16 +616,30 @@ class BlockVideoLoader(VanillaVideoLoader):
                 raw_left -= len(chunk)
                 t0 = _time.perf_counter() if stats is not None else 0.0
                 if direct:
-                    # gray unmasked chunks assemble through ONE native
-                    # call (cv2-bit-exact resize + exposure merge, GIL
-                    # released for the whole chunk); anything else goes
-                    # through the per-frame into() path
-                    native_ok = (chunk[0].ndim == 2
-                                 and not self.preprocess.masked)
+                    # unmasked chunks headed for a gray block assemble
+                    # through ONE native call (cv2-bit-exact INTER_LINEAR
+                    # resize + BT.601 gray conversion for color sources +
+                    # exposure merge, GIL released for the whole chunk);
+                    # anything else -- color output blocks, masks,
+                    # non-linear interpolation -- goes through the
+                    # per-frame into() path
+                    native_ok = (self.grayscale
+                                 and chunk[0].ndim in (2, 3)
+                                 and not self.preprocess.masked
+                                 and self.preprocess.interpolation
+                                 == cv2.INTER_LINEAR)
                     if (resize_scratch is None and chunk[0].ndim == 3
                             and self.preprocess.resize):
                         resize_scratch = np.zeros((h, w, 3), np.uint8)
                     if native_ok:
+                        if chunk[0].ndim == 3:
+                            assemble = _resize_bgr2gray_assemble_u8
+                            if (resize_scratch is None
+                                    and self.preprocess.resize):
+                                resize_scratch = np.zeros((h, w, 3),
+                                                          np.uint8)
+                        else:
+                            assemble = _resize_assemble_u8
                         pending_gray.extend(chunk)
                         while len(pending_gray) >= e:
                             g = min(len(pending_gray) // e,
@@ -631,8 +647,13 @@ class BlockVideoLoader(VanillaVideoLoader):
                             take = pending_gray[:g * e]
                             pending_gray = pending_gray[g * e:]
                             scratch = merge_scratch if e > 1 else None
-                            _resize_assemble_u8(take, block, n_in_block,
-                                                e, scratch)
+                            if assemble is _resize_bgr2gray_assemble_u8:
+                                assemble(take, block, n_in_block, e,
+                                         color_scratch=resize_scratch,
+                                         gray_scratch=scratch)
+                            else:
+                                assemble(take, block, n_in_block, e,
+                                         scratch)
                             n_in_block += g
                             merged_idx += g
                             if n_in_block == self.block_frames:
@@ -979,7 +1000,17 @@ class ProcessVideoLoader(BlockVideoLoader):
             try:
                 msg = self._ready_q.get(timeout=GET_TIMEOUT * 6)
             except queue.Empty:
+                # Queue silence is only EOS/failure if the worker died
+                # without posting a sentinel; a live worker may stall for
+                # minutes on this host (steal/THP episodes, slow first
+                # seeks) -- keep waiting while it is alive.
+                if self._proc is not None and self._proc.is_alive():
+                    continue
                 self.read_stopped = True
+                if self._proc is not None:
+                    raise RuntimeError(
+                        "video decode process exited without EOS "
+                        f"(exitcode={self._proc.exitcode})")
                 return None
             kind = msg[0]
             if kind == "block":

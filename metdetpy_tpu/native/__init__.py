@@ -1,7 +1,7 @@
 """ctypes bindings for the native host runtime (libmetring.so).
 
-Builds on demand with the bundled Makefile; every entry point has a numpy
-fallback so the package works without a compiler.
+Builds on demand with the bundled Makefile; every entry point has a
+numpy/cv2 fallback so the package works without a compiler.
 """
 
 from __future__ import annotations
@@ -38,24 +38,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
-    except OSError:
-        return None
-    lib.metring_create.restype = ctypes.c_void_p
-    lib.metring_create.argtypes = [ctypes.c_size_t, ctypes.c_size_t]
-    lib.metring_destroy.argtypes = [ctypes.c_void_p]
-    lib.metring_close.argtypes = [ctypes.c_void_p]
-    lib.metring_put.restype = ctypes.c_int
-    lib.metring_put.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                ctypes.c_int]
-    lib.metring_get.restype = ctypes.c_int
-    lib.metring_get.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                ctypes.c_int]
-    lib.metring_size.restype = ctypes.c_size_t
-    lib.metring_size.argtypes = [ctypes.c_void_p]
+        lib.metring_resize_bgr2gray_assemble_u8  # reject stale builds
+    except (OSError, AttributeError):
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
     lib.metring_u8_max_inplace.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                            ctypes.c_size_t]
-    lib.metring_u8_block_max.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
-                                         ctypes.c_size_t, ctypes.c_char_p]
     lib.metring_bgr2gray.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
                                      ctypes.c_char_p]
     lib.metring_resize_linear_u8.argtypes = [
@@ -65,75 +57,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_char_p]
+    lib.metring_resize_bgr2gray_assemble_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_char_p]
     _lib = lib
     return _lib
 
 
 def _ptr(arr: np.ndarray):
     return arr.ctypes.data_as(ctypes.c_char_p)
-
-
-class FrameRing:
-    """Native bounded frame ring; falls back to a Python deque-free numpy
-    ring when the library is unavailable."""
-
-    def __init__(self, n_slots: int, frame_shape: tuple[int, ...],
-                 dtype=np.uint8) -> None:
-        self.frame_shape = tuple(frame_shape)
-        self.dtype = np.dtype(dtype)
-        self.slot_bytes = int(np.prod(frame_shape)) * self.dtype.itemsize
-        self._lib = get_lib()
-        if self._lib is not None:
-            self._handle = self._lib.metring_create(n_slots, self.slot_bytes)
-            if not self._handle:
-                self._lib = None
-        if self._lib is None:
-            import queue
-            self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=n_slots)
-
-    def put(self, frame: np.ndarray, timeout: float = 10.0) -> bool:
-        frame = np.ascontiguousarray(frame, dtype=self.dtype)
-        if self._lib is not None:
-            return self._lib.metring_put(self._handle, _ptr(frame),
-                                         int(timeout * 1000)) == 0
-        import queue
-        try:
-            self._q.put(frame.copy(), timeout=timeout)
-            return True
-        except queue.Full:
-            return False
-
-    def get(self, out: Optional[np.ndarray] = None,
-            timeout: float = 10.0) -> Optional[np.ndarray]:
-        if out is None:
-            out = np.empty(self.frame_shape, dtype=self.dtype)
-        if self._lib is not None:
-            ok = self._lib.metring_get(self._handle, _ptr(out),
-                                       int(timeout * 1000)) == 0
-            return out if ok else None
-        import queue
-        try:
-            item = self._q.get(timeout=timeout)
-        except queue.Empty:
-            return None
-        out[...] = item
-        return out
-
-    def close(self) -> None:
-        if self._lib is not None:
-            self._lib.metring_close(self._handle)
-
-    def __len__(self) -> int:
-        if self._lib is not None:
-            return int(self._lib.metring_size(self._handle))
-        return self._q.qsize()
-
-    def __del__(self):
-        try:
-            if self._lib is not None and self._handle:
-                self._lib.metring_destroy(self._handle)
-        except Exception:
-            pass
 
 
 def u8_max_inplace(dst: np.ndarray, src: np.ndarray) -> None:
@@ -143,19 +76,6 @@ def u8_max_inplace(dst: np.ndarray, src: np.ndarray) -> None:
         lib.metring_u8_max_inplace(_ptr(dst), _ptr(src), dst.size)
     else:
         np.maximum(dst, src, out=dst)
-
-
-def u8_block_max(frames: np.ndarray) -> np.ndarray:
-    """Max over axis 0 of a contiguous [T, ...] uint8 array."""
-    lib = get_lib()
-    out = np.empty(frames.shape[1:], dtype=np.uint8)
-    if lib is not None and frames.flags.c_contiguous:
-        stride = int(np.prod(frames.shape[1:]))
-        lib.metring_u8_block_max(_ptr(frames), frames.shape[0], stride,
-                                 _ptr(out))
-    else:
-        np.max(frames, axis=0, out=out)
-    return out
 
 
 def bgr2gray(bgr: np.ndarray) -> np.ndarray:
@@ -233,4 +153,49 @@ def resize_assemble_u8(frames: list, block: np.ndarray, n_start: int,
                 tmp = cv2.resize(f, (dw, dh),
                                  interpolation=cv2.INTER_LINEAR)
                 np.maximum(slot, tmp, out=slot)
+    return n_out
+
+
+def resize_bgr2gray_assemble_u8(frames: list, block: np.ndarray,
+                                n_start: int, exp_frame: int = 1,
+                                color_scratch: Optional[np.ndarray] = None,
+                                gray_scratch: Optional[np.ndarray] = None
+                                ) -> int:
+    """Color-source variant of :func:`resize_assemble_u8`: resize BGR
+    frames, convert to gray (cv2-bit-exact BT.601 fixed point, same
+    resize-then-gray order as HostPreprocess), and exposure-max-merge
+    into consecutive GRAY block slots in one GIL-free call per chunk.
+
+    frames: list of [sh, sw, 3] u8 contiguous arrays. block: [*, dh, dw]
+    u8. Falls back to per-frame cv2 without the native library.
+    """
+    n = len(frames)
+    dh, dw = block.shape[1], block.shape[2]
+    n_out = n // exp_frame
+    lib = get_lib()
+    if (lib is not None and all(f.flags.c_contiguous for f in frames)
+            and dh <= frames[0].shape[0] and dw <= frames[0].shape[1]):
+        ptrs = (ctypes.c_void_p * n)(*[f.ctypes.data for f in frames])
+        if color_scratch is None and (dh, dw) != frames[0].shape[:2]:
+            color_scratch = np.empty((dh, dw, 3), np.uint8)
+        if gray_scratch is None and exp_frame > 1:
+            gray_scratch = np.empty((dh, dw), np.uint8)
+        cp = _ptr(color_scratch) if color_scratch is not None else None
+        gp = _ptr(gray_scratch) if gray_scratch is not None else None
+        lib.metring_resize_bgr2gray_assemble_u8(
+            ptrs, n, frames[0].shape[0], frames[0].shape[1],
+            _ptr(block[n_start:]), dh, dw, exp_frame, cp, gp)
+        return n_out
+    import cv2
+    for g in range(n_out):
+        slot = block[n_start + g]
+        for k in range(exp_frame):
+            f = frames[g * exp_frame + k]
+            if (dh, dw) != f.shape[:2]:
+                f = cv2.resize(f, (dw, dh), interpolation=cv2.INTER_LINEAR)
+            gray = cv2.cvtColor(f, cv2.COLOR_BGR2GRAY)
+            if k == 0:
+                np.copyto(slot, gray)
+            else:
+                np.maximum(slot, gray, out=slot)
     return n_out

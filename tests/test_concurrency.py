@@ -60,30 +60,35 @@ def test_exporter_bursty_flags_and_rescale():
             assert t.pt1[0] in (20, 60) and t.pt1[1] in (20, 50)
 
 
-def test_native_ring_multi_producer():
-    from metdetpy_tpu.native import FrameRing
-    ring = FrameRing(8, (8, 8))
-    n_per = 40
-    def produce(val):
-        for _ in range(n_per):
-            assert ring.put(np.full((8, 8), val, np.uint8), timeout=5.0)
-    threads = [threading.Thread(target=produce, args=(v,)) for v in (1, 2)]
-    got = []
-    def consume():
-        while len(got) < 2 * n_per:
-            f = ring.get(timeout=5.0)
-            if f is None:
-                break
-            got.append(int(f[0, 0]))
-    tc = threading.Thread(target=consume)
-    tc.start()
+def test_native_assemble_concurrent_blocks():
+    """Two threads driving the GIL-free native assembly into disjoint
+    blocks must not interfere (the decode thread and e.g. a recheck
+    loader can both be inside the C call at once)."""
+    import numpy as np
+    from metdetpy_tpu.native import resize_bgr2gray_assemble_u8
+    rng = np.random.default_rng(7)
+    frames = [np.ascontiguousarray(
+        rng.integers(0, 255, (64, 96, 3), np.uint8)) for _ in range(32)]
+    blocks = [np.zeros((16, 32, 48), np.uint8) for _ in range(2)]
+    expected = [np.zeros_like(b) for b in blocks]
+    for b, exp in zip(range(2), expected):
+        import cv2
+        for i, f in enumerate(frames[b * 16:(b + 1) * 16]):
+            small = cv2.resize(f, (48, 32), interpolation=cv2.INTER_LINEAR)
+            exp[i] = cv2.cvtColor(small, cv2.COLOR_BGR2GRAY)
+
+    def run(b):
+        resize_bgr2gray_assemble_u8(
+            frames[b * 16:(b + 1) * 16], blocks[b], 0, 1,
+            color_scratch=np.zeros((32, 48, 3), np.uint8))
+
+    threads = [threading.Thread(target=run, args=(b,)) for b in range(2)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
-    tc.join(timeout=10)
-    assert len(got) == 2 * n_per
-    assert sorted(set(got)) == [1, 2]
+    for b in range(2):
+        np.testing.assert_array_equal(blocks[b], expected[b])
 
 
 def test_loader_get_timeout_returns_none():

@@ -95,14 +95,33 @@ def test_detect_multi_stream_convenience():
     assert meteor_streams == [1], meteor_streams
 
 
-def test_native_frame_ring_and_kernels(rng):
-    from metdetpy_tpu.native import FrameRing, u8_block_max
-    ring = FrameRing(4, (16, 16))
-    assert ring.put(np.full((16, 16), 7, np.uint8))
-    got = ring.get()
-    assert got is not None and got[0, 0] == 7
-    frames = rng.integers(0, 255, (5, 16, 16), np.uint8)
-    np.testing.assert_array_equal(u8_block_max(frames), frames.max(axis=0))
+def test_native_bgr2gray_assemble_matches_cv2(rng):
+    """Fused native color path (resize + BT.601 gray + exposure merge)
+    is bit-exact with the per-frame cv2 sequence it replaces."""
+    import cv2
+    from metdetpy_tpu.native import bgr2gray, resize_bgr2gray_assemble_u8
+    frames = [np.ascontiguousarray(
+        rng.integers(0, 255, (60, 90, 3), np.uint8)) for _ in range(8)]
+    # plain bgr2gray parity
+    np.testing.assert_array_equal(
+        bgr2gray(frames[0]),
+        cv2.cvtColor(frames[0], cv2.COLOR_BGR2GRAY))
+    # fused: exp_frame=2, downscale to (45, 30)
+    block = np.zeros((4, 30, 45), np.uint8)
+    resize_bgr2gray_assemble_u8(frames, block, 0, exp_frame=2)
+    for g in range(4):
+        acc = None
+        for f in frames[g * 2:(g + 1) * 2]:
+            small = cv2.resize(f, (45, 30), interpolation=cv2.INTER_LINEAR)
+            gray = cv2.cvtColor(small, cv2.COLOR_BGR2GRAY)
+            acc = gray if acc is None else np.maximum(acc, gray)
+        np.testing.assert_array_equal(block[g], acc)
+    # same-size source: resize skipped, straight conversion
+    block2 = np.zeros((8, 60, 90), np.uint8)
+    resize_bgr2gray_assemble_u8(frames, block2, 0, exp_frame=1)
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(
+            block2[i], cv2.cvtColor(f, cv2.COLOR_BGR2GRAY))
 
 def test_collector_sentinel_never_leaks_on_long_runs():
     """The sentinel series (synthetic activation frame 2**16) must never be
