@@ -225,41 +225,78 @@ class FFMpegVideoWriter(BaseVideoWriter):
         return _chk_exec(ffmpeg) and _chk_exec(ffprobe)
 
     @classmethod
-    def _probe_keyframe(cls, ffprobe: str, video_name: str,
-                        target_sec: float, logger) -> float:
-        """Find the last keyframe at or before target_sec, widening the
-        probe window then falling back to target-2s
-        (reference MetLib/videowriter.py:365-413)."""
-        for window in (2.0, 5.0, 10.0):
-            lo = max(0.0, target_sec - window)
-            cmd = [ffprobe, "-read_intervals", f"{lo}%{target_sec + 0.01}",
-                   "-select_streams", "v:0", "-show_frames",
-                   "-show_entries", "frame=pts_time,key_frame",
-                   "-of", "csv", video_name]
+    def _get_audio_args(cls, ffprobe: str, src: str, tgt: str) -> list[str]:
+        """Probe the source's first audio-stream codec; stream-copy it when
+        the target container accepts that codec, else transcode to the
+        container's preferred codec (reference MetLib/videowriter.py:
+        335-365)."""
+        codec = None
+        try:
+            proc = subprocess.run(
+                [ffprobe, "-v", "error", "-select_streams", "a:0",
+                 "-show_entries", "stream=codec_name", "-of",
+                 "default=noprint_wrappers=1:nokey=1", src],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                timeout=30)
+            codec_str = proc.stdout.strip()
+            if codec_str:
+                codec = codec_str.splitlines()[0].strip()
+        except Exception:
+            pass
+        audio_args = ["-c:a", "copy"]
+        if codec is not None:
+            accept = CONTAINER_AUDIO_ACCEPT.get(
+                tgt.lower().rsplit(".", 1)[-1], ["aac"])
+            if codec not in accept:
+                audio_args = ["-c:a", accept[0], "-b:a", "192k"]
+        return audio_args
+
+    @classmethod
+    def _estimate_k_frame(cls, ffprobe: str, video_name: str,
+                          start_time: float, logger,
+                          max_retry_cnt: int = 5) -> float:
+        """Find the nearest previous I-frame timestamp before start_time,
+        retrying with a doubling look-back window sliding toward 0, then
+        falling back to the S-2s heuristic (reference
+        MetLib/videowriter.py:367-413)."""
+        rev_time = 2.0
+        eps = 1e-6
+        cur_start_time = start_time
+        for attempt in range(max_retry_cnt):
+            cmd = [ffprobe, "-v", "error", "-select_streams", "v:0",
+                   "-show_entries", "frame=key_frame,pkt_pts_time",
+                   "-read_intervals",
+                   f"{max(0.0, cur_start_time - rev_time):.3f}"
+                   f"%{cur_start_time:.3f}",
+                   "-of", "csv=p=0", video_name]
             try:
-                out = subprocess.run(cmd, stdout=subprocess.PIPE,
-                                     stderr=subprocess.PIPE,
-                                     timeout=30).stdout.decode()
-            except Exception as e:
-                logger.warning(f"ffprobe failed: {e!r}")
-                break
-            keyframes = []
-            for line in out.splitlines():
-                parts = line.split(",")
-                if len(parts) >= 3 and parts[1] == "1":
-                    try:
-                        keyframes.append(float(parts[2]))
-                    except ValueError:
-                        pass
-            candidates = [k for k in keyframes if k <= target_sec + 1e-6]
-            if candidates:
-                return max(candidates)
-        return max(0.0, target_sec - 2.0)
+                res = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                     stderr=subprocess.PIPE, text=True,
+                                     timeout=30)
+                parts = [[p.strip() for p in line.split(",") if p.strip()]
+                         for line in res.stdout.splitlines() if line]
+                ks = [float(p[1]) for p in parts
+                      if len(p) >= 2 and p[0] == "1"
+                      and float(p[1]) < start_time + eps]
+                if ks:
+                    return max(ks)
+            except Exception:
+                pass
+            logger.warning(f"keyframe probe attempt "
+                           f"{attempt + 1}/{max_retry_cnt} found nothing.")
+            cur_start_time = cur_start_time - rev_time + eps
+            rev_time *= 2
+        logger.warning(
+            "ffprobe failed to list keyframes; falling back to K=S-2s.")
+        return max(0.0, start_time - 2.0)
 
     @classmethod
     def save_video_by_stream(cls, video_loader, export_option, video_path,
                              start_frame=None, end_frame=None,
                              logger=None) -> int:
+        """Keyframe-accurate clip export: coarse seek to the previous
+        I-frame (-ss K before -i), precise seek by S-K, video transcode +
+        probed audio handling (reference MetLib/videowriter.py:464-532)."""
         logger = get_useable_logger(logger)
         video_name = getattr(video_loader, "video_name", None)
         if not cls.available(export_option) or not video_name:
@@ -269,20 +306,24 @@ class FFMpegVideoWriter(BaseVideoWriter):
                 video_loader, export_option, video_path, start_frame,
                 end_frame, logger)
         ffmpeg, ffprobe = cls._resolve_paths(export_option)
+        ff = export_option.ffmpeg_config
         fps = video_loader.fps
         s = (start_frame if start_frame is not None
              else video_loader.start_frame) / fps
         e = (end_frame if end_frame is not None
              else video_loader.end_frame) / fps
-        k = cls._probe_keyframe(ffprobe, video_name, s, logger)
-        cmd = [ffmpeg, "-y", "-ss", f"{k:.3f}", "-i", video_name,
+        k = cls._estimate_k_frame(ffprobe, video_name, s, logger)
+        audio_args = cls._get_audio_args(ffprobe, video_name, video_path)
+        cmd = [ffmpeg, "-ss", f"{k:.3f}", "-i", video_name,
                "-ss", f"{s - k:.3f}", "-t", f"{e - s:.3f}",
-               "-c", "copy", video_path]
+               "-c:v", ff.video_encoder, "-preset", ff.preset,
+               "-crf", str(ff.crf), "-pix_fmt", ff.pix_fmt, *audio_args,
+               "-avoid_negative_ts", "1", "-y", video_path]
         try:
             ret = subprocess.run(cmd, stdout=subprocess.PIPE,
                                  stderr=subprocess.PIPE, timeout=600)
             if ret.returncode != 0:
-                logger.error(f"ffmpeg stream copy failed: "
+                logger.error(f"ffmpeg clip export failed: "
                              f"{ret.stderr.decode()[-400:]}")
                 return -1
         except Exception as ex:
@@ -295,7 +336,7 @@ class FFMpegVideoWriter(BaseVideoWriter):
                               video_path, start_frame=None, end_frame=None,
                               logger=None) -> int:
         """Encode the (bbox-annotated) frames to a temp AVI, then transcode
-        and mux the source audio segment
+        and mux the source audio segment with probed codec handling
         (reference MetLib/videowriter.py:534-605)."""
         logger = get_useable_logger(logger)
         video_name = getattr(video_loader, "video_name", None)
@@ -303,24 +344,29 @@ class FFMpegVideoWriter(BaseVideoWriter):
             return super().save_video_with_audio(
                 video_series, video_loader, export_option, video_path,
                 start_frame, end_frame, logger)
-        ffmpeg, _ = cls._resolve_paths(export_option)
+        ffmpeg, ffprobe = cls._resolve_paths(export_option)
         ff = export_option.ffmpeg_config
         fps = video_loader.fps
-        s = (start_frame or 0) / fps
-        e = (end_frame if end_frame is not None
-             else (start_frame or 0) + len(video_series)) / fps
+        s0 = (start_frame if start_frame is not None
+              else getattr(video_loader, "start_frame", 0))
+        e0 = (end_frame if end_frame is not None
+              else s0 + len(video_series))
+        duration = (e0 - s0) / fps
+        start_ts = frame2ts(s0, fps)
+        audio_args = cls._get_audio_args(ffprobe, video_name, video_path)
         with tempfile.TemporaryDirectory() as tmp:
             tmp_avi = os.path.join(tmp, "clip.avi")
             if OpenCVVideoWriter.save_video(video_series, fps, export_option,
                                             tmp_avi, logger) != 0:
                 return -1
-            container = video_path.rsplit(".", 1)[-1].lower()
-            acodec = CONTAINER_AUDIO_ACCEPT.get(container, ["aac"])[0]
-            cmd = [ffmpeg, "-y", "-i", tmp_avi, "-ss", f"{s:.3f}", "-t",
-                   f"{e - s:.3f}", "-i", video_name, "-map", "0:v:0", "-map",
-                   "1:a:0?", "-c:v", ff.video_encoder, "-preset", ff.preset,
-                   "-crf", str(ff.crf), "-pix_fmt", ff.pix_fmt, "-c:a",
-                   acodec, "-shortest", video_path]
+            # video from the annotated temp clip (input 0); audio seeked/
+            # trimmed from the source (input 1, '1:a:0?' tolerates missing
+            # audio tracks)
+            cmd = [ffmpeg, "-i", tmp_avi, "-ss", start_ts, "-t",
+                   f"{duration:.3f}", "-i", video_name, "-map", "0:v:0",
+                   "-map", "1:a:0?", "-c:v", ff.video_encoder, "-preset",
+                   ff.preset, "-crf", str(ff.crf), "-pix_fmt", ff.pix_fmt,
+                   *audio_args, "-avoid_negative_ts", "1", "-y", video_path]
             try:
                 ret = subprocess.run(cmd, stdout=subprocess.PIPE,
                                      stderr=subprocess.PIPE, timeout=600)
