@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Batch mode: decode the whole video into memory and detect "
              "with the time axis sharded over N mesh devices (default: "
              "streaming block pipeline).")
+    parser.add_argument(
+        "--temporal-super-block", type=float, default=None, metavar="SEC",
+        help="With --temporal-shards: process the video in SEC-second "
+             "super-blocks with device-resident carried state instead of "
+             "whole-clip-in-RAM (bit-equal results; bounded host memory "
+             "for multi-hour videos).")
     return parser
 
 
@@ -92,7 +98,8 @@ def main() -> None:
         result = detect_video_temporal(
             args.target, args.mask, cfg, n_shards=args.temporal_shards,
             work_mode=args.mode,
-            time_range=(args.start_time, args.end_time))
+            time_range=(args.start_time, args.end_time),
+            super_block_sec=args.temporal_super_block)
     else:
         result = detect_video(args.target, args.mask, cfg, args.debug,
                               args.visual, work_mode=args.mode,

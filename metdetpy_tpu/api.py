@@ -193,21 +193,30 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
                           cfg: MainDetectCfg, n_shards: Optional[int] = None,
                           work_mode: str = "backend",
                           time_range: tuple[Optional[str],
-                                            Optional[str]] = (None, None)
+                                            Optional[str]] = (None, None),
+                          super_block_sec: Optional[float] = None
                           ) -> MDRF:
     """Batch detection with the time axis sharded over the device mesh.
 
-    Decodes + preprocesses the whole (windowed) video into one in-memory
-    [T, H, W] array, then runs the COMPLETE fused detect step time-sharded
-    (parallel.temporal.detect_frames_temporal): on an N-chip slice an
-    N-times-longer clip finishes in the same device wall time. Offline
-    complement to the streaming detect_video loop; requires a grayscale
-    classic-detector config and enough host RAM for the clip.
+    Default mode decodes + preprocesses the whole (windowed) video into
+    one in-memory [T, H, W] array, then runs the COMPLETE fused detect
+    step time-sharded (parallel.temporal.detect_frames_temporal): on an
+    N-chip slice an N-times-longer clip finishes in the same device wall
+    time.
+
+    With ``super_block_sec`` set, the clip is processed in super-blocks
+    of that many seconds with device-resident carries across sharded
+    steps (parallel.temporal.detect_frames_temporal_streaming): host RAM
+    is bounded by one super-block, making multi-hour monitoring videos
+    tractable; results are bit-equal to the whole-clip mode.
+
+    Requires a grayscale classic-detector config.
     """
     import jax
 
     from .parallel.mesh import build_mesh
-    from .parallel.temporal import detect_frames_temporal
+    from .parallel.temporal import (detect_frames_temporal,
+                                    detect_frames_temporal_streaming)
 
     set_default_logger(False, work_mode)
     logger = get_default_logger()
@@ -238,38 +247,51 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
             positive_category_list=ClipCfg.from_json_file(
                 get_clip_config_path()).export.positive_category_list)
 
-        # decode + preprocess the full window into memory
-        chunks = []
-        video_loader.start()
-        if hasattr(video_loader, "pop_block"):
-            while True:
-                blk = video_loader.pop_block()
-                if blk is None:
-                    break
-                # BlockVideoLoader recycles a fixed pool of block buffers;
-                # a retained reference would be overwritten once the
-                # producer laps the pool (~pool_size blocks), so copy.
-                chunks.append(np.array(blk, copy=True))
-        else:
-            while not video_loader.stopped:
-                f = video_loader.pop()
-                if f is None:
-                    break
-                chunks.append(f[None])
-        video_loader.release()
-        if not chunks:
-            raise ValueError("no frames decoded")
-        frames = np.concatenate(chunks, axis=0)
-        del chunks
-
         n = n_shards or len(jax.devices())
         mesh = build_mesh(n, axis_name="time")
-        records, used = detect_frames_temporal(
-            frames, cfg, fps=rt_param.eq_fps, mask=video_loader.mask
-            if mask_name else None, mesh=mesh, logger=logger,
-            rt_params=rt_param)
-        logger.info(f"Temporal batch detection: {used} merged frames over "
-                    f"{n} shards.")
+        mask = video_loader.mask if mask_name else None
+        video_loader.start()
+
+        def iter_blocks():
+            # BlockVideoLoader recycles a fixed pool of block buffers; a
+            # retained reference would be overwritten once the producer
+            # laps the pool (~pool_size blocks), so copy.
+            if hasattr(video_loader, "pop_block"):
+                while True:
+                    blk = video_loader.pop_block()
+                    if blk is None:
+                        return
+                    yield np.array(blk, copy=True)
+            else:
+                while not video_loader.stopped:
+                    f = video_loader.pop()
+                    if f is None:
+                        return
+                    yield np.array(f[None], copy=True)
+
+        if super_block_sec is not None:
+            super_frames = max(int(super_block_sec * rt_param.eq_fps), n)
+            records, used = detect_frames_temporal_streaming(
+                iter_blocks(), cfg, fps=rt_param.eq_fps, mask=mask,
+                mesh=mesh, super_block_frames=super_frames, logger=logger,
+                rt_params=rt_param)
+            video_loader.release()
+            logger.info(f"Streaming temporal detection: {used} merged "
+                        f"frames over {n} shards in "
+                        f"{-(-used // max(super_frames // n * n, n))} "
+                        f"super-blocks.")
+        else:
+            chunks = list(iter_blocks())
+            video_loader.release()
+            if not chunks:
+                raise ValueError("no frames decoded")
+            frames = np.concatenate(chunks, axis=0)
+            del chunks
+            records, used = detect_frames_temporal(
+                frames, cfg, fps=rt_param.eq_fps, mask=mask, mesh=mesh,
+                logger=logger, rt_params=rt_param)
+            logger.info(f"Temporal batch detection: {used} merged frames "
+                        f"over {n} shards.")
     finally:
         logger.stop()
     return MDRF(version=VERSION, basic_info=video_info, config=cfg,

@@ -42,21 +42,35 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import filters, windows
-from ..ops.hough import hough_lines_batch, pvary_like
+from ..ops.hough import hough_lines_batch
 from .mesh import build_mesh
 
 MAX_ALLOW_GAP = 0.05  # parity with detectors/m3det.py MAX_ALLOW_GAP
 
 
 def _halo_from_left(local: jax.Array, n: int, axis_name: str,
-                    n_shards: int) -> jax.Array:
+                    n_shards: int,
+                    carry: Optional[jax.Array] = None) -> jax.Array:
     """Each shard receives the last n-1 frames of its LEFT neighbor; the
-    first shard gets zeros (stream start)."""
+    first shard gets ``carry`` (the tail of the previous super-block) or
+    zeros at stream start."""
     tail = local[-(n - 1):]
     perm = [(i, i + 1) for i in range(n_shards - 1)]
     halo = jax.lax.ppermute(tail, axis_name, perm)
     idx = jax.lax.axis_index(axis_name)
-    return jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+    first = jnp.zeros_like(halo) if carry is None else carry
+    return jnp.where(idx == 0, first, halo)
+
+
+def _tail_to_first(local: jax.Array, n: int, axis_name: str,
+                   n_shards: int) -> jax.Array:
+    """Route the LAST shard's n-1 tail frames to shard 0 (where the next
+    super-block's first shard will need them as its left halo); all other
+    shards carry zeros. Returned with a leading singleton so the gathered
+    [s, n-1, ...] array round-trips through the same P(axis) spec."""
+    tail = local[-(n - 1):]
+    routed = jax.lax.ppermute(tail, axis_name, [(n_shards - 1, 0)])
+    return routed[None]
 
 
 @functools.lru_cache(maxsize=32)
@@ -110,12 +124,23 @@ def _build_m3_fn(mesh: Mesh, axis_name: str, *, n: int, s: int,
 
     r1, c1, r2, c2 = roi
 
-    def shard_fn(local_frames, ema0):
+    # Streaming carry protocol: every carry travels with a leading [s]
+    # shard dim under P(axis_name), so a step's carry OUTPUT feeds the
+    # next step's carry INPUT without resharding or host round trips.
+    # The EMA carry is identical on every shard (all shards redundantly
+    # run the same global scan); the gray/dy tails are routed from the
+    # last shard to shard 0 (the only consumer) inside the program.
+
+    def shard_fn(local_frames, ema_t, gray_carry_t, dy_carry_t, t_off_t):
         idx = jax.lax.axis_index(axis_name)
-        timer0 = idx.astype(jnp.int32) * t_local
+        t_offset = t_off_t[0]
+        ema0 = jax.tree.map(lambda x: x[0], ema_t)
+        timer0 = t_offset + idx.astype(jnp.int32) * t_local
 
         # phase 1: local window stats with gray/sub halos from the left
-        gray_halo = _halo_from_left(local_frames, n, axis_name, s)
+        # (shard 0's halo is the previous super-block's tail carry)
+        gray_halo = _halo_from_left(local_frames, n, axis_name, s,
+                                    carry=gray_carry_t[0])
         stats, _ = windows.window_stats(gray_halo, local_frames, n, timer0)
         sub_local = local_frames[:, r1:r2, c1:c2]
         sub_halo = gray_halo[:, r1:r2, c1:c2]
@@ -125,12 +150,8 @@ def _build_m3_fn(mesh: Mesh, axis_name: str, *, n: int, s: int,
         # phase 2: exact global EMA -- stds are [T] scalars; gather them
         # and run the identical sequential scan redundantly on every shard
         stds_full = jax.lax.all_gather(stds_local, axis_name, tiled=True)
-        # the replicated EMA carry must be promoted to vary like the
-        # gathered stds, or the lax.scan carry types mismatch (see
-        # ops.hough.pvary_like)
-        ema_varying = jax.tree.map(lambda x: pvary_like(x, stds_full), ema0)
-        thr_full, thr_f_full, ema_full, _ = _ema_threshold_scan(
-            stds_full, jnp.int32(0), ema_varying, n=n,
+        thr_full, thr_f_full, ema_full, ema_final = _ema_threshold_scan(
+            stds_full, t_offset, ema0, n=n,
             std_interval=std_interval, momentum=momentum,
             warmup_speed=warmup_speed, adaptive=adaptive, coef_a=coef_a,
             coef_b=coef_b)
@@ -144,7 +165,8 @@ def _build_m3_fn(mesh: Mesh, axis_name: str, *, n: int, s: int,
         closed = fused_median_binarize_close(stats.diff, thr)
         dst = closed
         if dy_mask:
-            closed_halo = _halo_from_left(closed, n, axis_name, s)
+            closed_halo = _halo_from_left(closed, n, axis_name, s,
+                                          carry=dy_carry_t[0])
             dy_sum, _ = windows.rolling_sum_u32(closed_halo, closed, n)
             timers = timer0 + 1 + jnp.arange(t_local, dtype=jnp.int32)
             lens = jnp.minimum(timers, n).astype(jnp.uint32)[:, None, None]
@@ -162,15 +184,40 @@ def _build_m3_fn(mesh: Mesh, axis_name: str, *, n: int, s: int,
                                   max_peaks=max_peaks)
         packed = _pack(hough.lines, hough.valid, dst_sum, hough.npix,
                        hough.overflow, ema_vals, thr_f, thr)
-        return packed, dst
+
+        # next-super-block carries
+        ema_next = jax.tree.map(lambda x: x[None], ema_final)
+        gray_next = _tail_to_first(local_frames, n, axis_name, s)
+        dy_next = _tail_to_first(closed, n, axis_name, s)
+        t_off_next = (t_offset + s * t_local)[None]
+        return packed, dst, ema_next, gray_next, dy_next, t_off_next
 
     spec = P(axis_name)
-    ema_spec = P()  # replicated initial EMA state
+    ema_specs = jax.tree.map(lambda _: spec, EmaState.init(0.9, 5.0))
     return jax.jit(shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(spec, jax.tree.map(lambda _: ema_spec,
-                                     EmaState.init(0.9, 5.0))),
-        out_specs=(spec, spec)))
+        in_specs=(spec, ema_specs, spec, spec, spec),
+        out_specs=(spec, spec, ema_specs, spec, spec, spec)))
+
+
+def init_temporal_carry(mesh: Mesh, axis_name: str, *, n: int, h: int,
+                        w: int, momentum: float, init_threshold: float):
+    """Fresh stream-start carry for :func:`temporal_m3_detect`: zero
+    gray/dy histories, initial EMA state, t_offset 0 -- all sharded with a
+    leading [s] dim so step outputs feed step inputs directly."""
+    from ..detectors.m3det import EmaState
+
+    s = mesh.devices.size
+    spec = NamedSharding(mesh, P(axis_name))
+    ema0 = EmaState.init(momentum, init_threshold)
+    ema_t = jax.tree.map(
+        lambda x: jax.device_put(
+            jnp.broadcast_to(jnp.asarray(x)[None],
+                             (s,) + jnp.asarray(x).shape), spec), ema0)
+    gray0 = jax.device_put(np.zeros((s, n - 1, h, w), np.uint8), spec)
+    dy0 = jax.device_put(np.zeros((s, n - 1, h, w), np.uint8), spec)
+    t_off = jax.device_put(np.zeros((s,), np.int32), spec)
+    return ema_t, gray0, dy0, t_off
 
 
 def temporal_m3_detect(frames: np.ndarray, *, n: int, roi: tuple,
@@ -179,15 +226,21 @@ def temporal_m3_detect(frames: np.ndarray, *, n: int, roi: tuple,
                        coef_a: float, coef_b: float, hough_threshold: int,
                        min_len: int, max_gap: float, max_points: int = 2048,
                        max_peaks: int = 32, mesh: Optional[Mesh] = None,
-                       axis_name: str = "time", init_threshold: float = 5.0):
+                       axis_name: str = "time", init_threshold: float = 5.0,
+                       carry=None, return_carry: bool = False):
     """Full fused M3 detect over a time-sharded [T, H, W] stream segment.
 
-    Semantics identical to running detectors.m3det._m3_block_step on the
-    whole block from stream start (timer0=0, zero histories, fresh EMA).
-    Returns (packed [T, K*5+6] f32, dst [T, H, W] u8), both gathered.
-    """
-    from ..detectors.m3det import EmaState
+    With ``carry=None``, semantics are identical to running
+    detectors.m3det._m3_block_step on the whole block from stream start
+    (timer0=0, zero histories, fresh EMA). Passing the carry returned by a
+    previous call (``return_carry=True``) continues the stream exactly:
+    the previous super-block's gray/binarized tails become shard 0's
+    halos, the EMA scan resumes from its carried state, and warmup timers
+    continue -- device-resident state, no host round trip.
 
+    Returns (packed [T, K*5+6] f32, dst [T, H, W] u8), plus the
+    next-super-block carry when ``return_carry``.
+    """
     mesh = mesh if mesh is not None else build_mesh(axis_name=axis_name)
     s = mesh.devices.size
     t_total, h, w = frames.shape
@@ -204,11 +257,16 @@ def temporal_m3_detect(frames: np.ndarray, *, n: int, roi: tuple,
                       max_gap=max_gap, max_points=max_points,
                       max_peaks=max_peaks)
     sharded = jax.device_put(frames, NamedSharding(mesh, P(axis_name)))
-    ema0 = EmaState.init(momentum, init_threshold)
-    ema0 = jax.tree.map(
-        lambda x: jax.device_put(jnp.asarray(x),
-                                 NamedSharding(mesh, P())), ema0)
-    return fn(sharded, ema0)
+    if carry is None:
+        carry = init_temporal_carry(mesh, axis_name, n=n, h=h, w=w,
+                                    momentum=momentum,
+                                    init_threshold=init_threshold)
+    ema_t, gray_t, dy_t, t_off = carry
+    packed, dst, ema_n, gray_n, dy_n, t_off_n = fn(sharded, ema_t, gray_t,
+                                                   dy_t, t_off)
+    if return_carry:
+        return packed, dst, (ema_n, gray_n, dy_n, t_off_n)
+    return packed, dst
 
 
 def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
@@ -231,12 +289,11 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
     many leading frames were actually processed.
     """
     from ..detectors.m3det import (ABS_SENSITIVITY, SENSITIVITY_COEF,
-                                   NUM_LINES_TOOMUCH, _unpack,
                                    select_subarea)
     from ..log import BaseMetLog
     from ..structs import RuntimeParams
     from ..track.collector import MeteorCollector
-    from ..utils import get_num_class, lineset_nms
+    from ..utils import get_num_class
 
     logger = logger or BaseMetLog()
     mesh = mesh if mesh is not None else build_mesh(axis_name=axis_name)
@@ -275,12 +332,26 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
         positive_category_list=["METEOR"])
     collector = MeteorCollector(cfg.collector, rt, video_loader=None,
                                 logger=logger)
-    lines_all, valid_all, extras = _unpack(np.asarray(packed), max_peaks)
+    _feed_collector(collector, np.asarray(packed), 0, rt, num_cls,
+                    max_peaks)
+    collector.clear()
+    return collector.met_exporter.meteor_list, t_total
+
+
+def _feed_collector(collector, packed: np.ndarray, t_start: int, rt,
+                    num_cls: int, max_peaks: int) -> None:
+    """Run the host collector over one gathered packed buffer, with frame
+    indices offset by ``t_start`` merged frames."""
+    from ..detectors.m3det import NUM_LINES_TOOMUCH, _unpack
+    from ..utils import lineset_nms
+
+    lines_all, valid_all, extras = _unpack(packed, max_peaks)
     eq_int_fps = max(int(rt.eq_int_fps), 1)
     e = max(int(rt.exp_frame), 1)
-    for t in range(t_total):
-        fl = lines_all[t][valid_all[t]]
-        if extras[t, 2] > 0.5 or len(fl) > NUM_LINES_TOOMUCH:
+    for j in range(packed.shape[0]):
+        t = t_start + j
+        fl = lines_all[j][valid_all[j]]
+        if extras[j, 2] > 0.5 or len(fl) > NUM_LINES_TOOMUCH:
             fl = np.zeros((0, 4), int)
         if len(fl):
             nms_lines, nonline = lineset_nms(fl)
@@ -291,5 +362,114 @@ def detect_frames_temporal(frames: np.ndarray, cfg, fps: float,
         elif t % eq_int_fps == 0:
             collector.update(t * e, np.zeros((0, 4), int),
                              np.zeros((0, num_cls)))
+
+
+def detect_frames_temporal_streaming(block_iter, cfg, fps: float,
+                                     mask: Optional[np.ndarray] = None,
+                                     mesh: Optional[Mesh] = None,
+                                     axis_name: str = "time",
+                                     super_block_frames: int = 512,
+                                     max_points: int = 8192,
+                                     max_peaks: int = 64, logger=None,
+                                     rt_params=None):
+    """Streaming complement to :func:`detect_frames_temporal`: consume
+    merged frames super-block by super-block with DEVICE-RESIDENT state
+    carried across sharded steps, so host memory is bounded by one
+    super-block instead of the whole clip (multi-hour monitoring videos).
+
+    ``block_iter`` yields [T_i, H, W] uint8 merged-frame chunks of any
+    size (e.g. BlockVideoLoader.pop_block). Chunks are re-batched into
+    ``super_block_frames``-frame super-blocks (rounded down to a multiple
+    of the mesh size); each runs the same sharded program as the
+    whole-clip path, with the previous super-block's gray/binarized tails
+    and EMA state flowing in as carries. Bit-equal to the whole-clip
+    sharded run (tests/test_temporal_full.py).
+
+    Returns (records, n_frames_used).
+    """
+    from ..detectors.m3det import (ABS_SENSITIVITY, SENSITIVITY_COEF,
+                                   select_subarea)
+    from ..log import BaseMetLog
+    from ..structs import RuntimeParams
+    from ..track.collector import MeteorCollector
+    from ..utils import get_num_class
+
+    logger = logger or BaseMetLog()
+    mesh = mesh if mesh is not None else build_mesh(axis_name=axis_name)
+    s = mesh.devices.size
+    super_block_frames = max(super_block_frames // s * s, s)
+
+    bi = cfg.detector.cfg.binary
+    adaptive = bool(bi.adaptive_bi_thre)
+    coef_a, coef_b = (SENSITIVITY_COEF[bi.sensitivity] if adaptive
+                      else (0.0, 0.0))
+    init_thr = (ABS_SENSITIVITY[bi.sensitivity] if adaptive
+                else bi.init_value)
+    n = max(int(cfg.detector.window_sec * fps), 1)
+    momentum = 1 - bi.interval / 60
+
+    collector = None
+    carry = None
+    processed = 0
+    pending: list[np.ndarray] = []
+    n_pending = 0
+    done = False
+    it = iter(block_iter)
+    while not done:
+        # accumulate one super-block (or the final remainder)
+        while n_pending < super_block_frames:
+            try:
+                chunk = next(it)
+            except StopIteration:
+                done = True
+                break
+            if chunk is None:
+                done = True
+                break
+            pending.append(np.asarray(chunk))
+            n_pending += pending[-1].shape[0]
+        take = super_block_frames if n_pending >= super_block_frames \
+            else n_pending // s * s
+        if take == 0:
+            break
+        buf = np.concatenate(pending, axis=0) if len(pending) > 1 \
+            else pending[0]
+        frames, rest = buf[:take], buf[take:]
+        pending = [rest] if rest.size else []
+        n_pending = rest.shape[0] if rest.size else 0
+
+        h, w = frames.shape[1:3]
+        if collector is None:
+            if mask is None:
+                mask = np.ones((h, w), np.uint8)
+            roi = select_subarea(mask, bi.area)
+            mask_area = int(np.sum(mask))
+            num_cls = get_num_class()
+            rt = rt_params if rt_params is not None else RuntimeParams(
+                fps=fps, exp_frame=1, eq_fps=fps, eq_int_fps=int(fps),
+                exp_time=1 / fps, runtime_size=[w, h], raw_size=[w, h],
+                positive_category_list=["METEOR"])
+            collector = MeteorCollector(cfg.collector, rt,
+                                        video_loader=None, logger=logger)
+        if not np.all(mask == 1):
+            frames = frames * mask[None]
+
+        packed, _dst, carry = temporal_m3_detect(
+            frames, n=n, roi=roi, dy_mask=bool(
+                cfg.detector.cfg.dynamic.dy_mask),
+            mask_area=mask_area, std_interval=bi.interval * n,
+            momentum=momentum, warmup_speed=float(n), adaptive=adaptive,
+            coef_a=coef_a, coef_b=coef_b,
+            hough_threshold=int(cfg.detector.cfg.hough_line.threshold),
+            min_len=int(cfg.detector.cfg.hough_line.min_len),
+            max_gap=float(cfg.detector.cfg.hough_line.max_gap),
+            max_points=max_points, max_peaks=max_peaks, mesh=mesh,
+            axis_name=axis_name, init_threshold=float(init_thr),
+            carry=carry, return_carry=True)
+        _feed_collector(collector, np.asarray(packed), processed, rt,
+                        num_cls, max_peaks)
+        processed += take
+    if collector is None:
+        return [], 0
     collector.clear()
-    return collector.met_exporter.meteor_list, t_total
+    return collector.met_exporter.meteor_list, processed

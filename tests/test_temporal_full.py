@@ -164,3 +164,67 @@ def test_detect_video_temporal_cli_api(clip, tmp_path):
     # records list present (MJPG noise at this tiny scale may or may not
     # yield a METEOR; the surface contract is the MDRF round trip)
     assert isinstance(mdrf["results"], list)
+
+
+def test_streaming_super_blocks_bit_equal_whole_clip(clip):
+    """Chunked sharded detection with device-resident carries must be
+    BIT-EQUAL to the whole-clip sharded run: same packed buffers and
+    binarized blocks frame for frame across 4 super-blocks (VERDICT r2
+    next #4)."""
+    mesh = build_mesh(2, axis_name="time")
+    packed_ref, dst_ref = temporal_m3_detect(
+        clip, mesh=mesh, axis_name="time", init_threshold=5.0, **PARAMS)
+    packed_ref = np.asarray(packed_ref)
+    dst_ref = np.asarray(dst_ref)
+
+    # 4 super-blocks of 16 frames (t_local = 8 >= n-1 = 5)
+    carry = None
+    packed_chunks = []
+    dst_chunks = []
+    for start in range(0, T, 16):
+        packed_c, dst_c, carry = temporal_m3_detect(
+            clip[start:start + 16], mesh=mesh, axis_name="time",
+            init_threshold=5.0, carry=carry, return_carry=True, **PARAMS)
+        packed_chunks.append(np.asarray(packed_c))
+        dst_chunks.append(np.asarray(dst_c))
+    assert len(packed_chunks) == 4
+    np.testing.assert_array_equal(np.concatenate(dst_chunks), dst_ref)
+    np.testing.assert_array_equal(np.concatenate(packed_chunks),
+                                  packed_ref)
+
+
+def test_streaming_driver_matches_whole_clip_records(clip):
+    """detect_frames_temporal_streaming re-batching odd-sized input
+    chunks into 3+ super-blocks produces the same records as
+    detect_frames_temporal on the same frames."""
+    from metdetpy_tpu.parallel.temporal import (
+        detect_frames_temporal, detect_frames_temporal_streaming)
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    cfg.detector.window_sec = N / 25.0
+    cfg.detector.cfg.hough_line.threshold = PARAMS["hough_threshold"]
+    cfg.detector.cfg.hough_line.min_len = PARAMS["min_len"]
+    cfg.detector.cfg.hough_line.max_gap = PARAMS["max_gap"]
+    cfg.collector.recheck_cfg.switch = False
+    cfg.collector.meteor_cfg.min_len = 5
+    cfg.collector.meteor_cfg.speed_range = [2, 60]
+    mesh = build_mesh(2, axis_name="time")
+    records_ref, used_ref = detect_frames_temporal(
+        clip, cfg, fps=25.0, mesh=mesh,
+        max_points=PARAMS["max_points"], max_peaks=PARAMS["max_peaks"])
+
+    def block_iter():
+        # odd 12-frame chunks force re-batching across chunk boundaries
+        for start in range(0, T, 12):
+            yield clip[start:start + 12]
+
+    records_st, used_st = detect_frames_temporal_streaming(
+        block_iter(), cfg, fps=25.0, mesh=mesh, super_block_frames=16,
+        max_points=PARAMS["max_points"], max_peaks=PARAMS["max_peaks"])
+    assert used_ref == used_st == T
+    assert len(records_ref) >= 1
+    ref_d = [r.to_dict() for r in records_ref]
+    st_d = [r.to_dict() for r in records_st]
+    assert ref_d == st_d
