@@ -221,6 +221,176 @@ def bench_multistream_sharded():
     }))
 
 
+def bench_device_worstcase(n_blocks: int = 32):
+    """ACTIVE-SKY worst case for the fused M3 step: salt flicker makes
+    every frame's binarized output dense, so the Hough vote path's
+    zero-skip conds (ops/hough.py) cannot fire and every chunk pays the
+    full one-hot-matmul vote. Fetch-free chained timing like
+    bench_device_only; occupancy stats (npix vs max_points, overflow
+    rate) are fetched AFTER timing from the last pass's outputs.
+
+    Returns (fps, occupancy_dict)."""
+    import jax
+    from metdetpy_tpu.detectors.m3det import M3Detector, _unpack
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import get_num_class, relative2abs_path
+
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    h, w = 540, 960
+    block_frames = 64
+    rng = np.random.default_rng(7)
+    # per-frame salt: ~1500 fresh bright pixels; with a 25-frame window
+    # the rolling max keeps each hot for n frames -> tens of thousands of
+    # binarized pixels per frame, far past max_points (8192): every Hough
+    # chunk votes at full occupancy
+    n_avail = 4
+    frames = rng.normal(16, 4, (n_avail * block_frames, h, w))
+    salt_idx = rng.integers(0, h * w, (n_avail * block_frames, 1500))
+    for t in range(frames.shape[0]):
+        frames.reshape(frames.shape[0], -1)[t, salt_idx[t]] = 255
+    frames = frames.clip(0, 255).astype(np.uint8)
+
+    det = M3Detector(window_sec=cfg.detector.window_sec, fps=25.0,
+                     mask=np.ones((h, w), np.uint8),
+                     num_cls=get_num_class(), cfg=cfg.detector.cfg,
+                     logger=BaseMetLog())
+    blocks = [jax.device_put(
+        frames[i * block_frames:(i + 1) * block_frames])
+        for i in range(n_avail)]
+    jax.block_until_ready(blocks)
+    jax.block_until_ready(det.process_block_async(blocks[0])[0])
+
+    best = 0.0
+    last_outs = []
+    for _ in range(5):
+        t0 = time.time()
+        outs = []
+        for i in range(n_blocks):
+            packed, _dst = det.process_block_async(blocks[i % n_avail])
+            outs.append(packed)
+        jax.block_until_ready(outs)
+        dt = time.time() - t0
+        best = max(best, n_blocks * block_frames / dt)
+        last_outs = outs
+    # occupancy readback (first d2h of the process happens in main AFTER
+    # all fetch-free numbers are recorded)
+    buf = np.asarray(last_outs[-1])
+    _, _, extras = _unpack(buf, det.max_peaks)
+    occ = {
+        "mean_npix": round(float(extras[:, 1].mean()), 1),
+        "min_npix": int(extras[:, 1].min()),
+        "max_points": det.max_points,
+        "overflow_rate": round(float((extras[:, 2] > 0.5).mean()), 3),
+    }
+    return best, occ
+
+
+def bench_device_with_readback(frames_540p: "np.ndarray",
+                               n_blocks: int = 32):
+    """Sustained device throughput INCLUDING the per-block packed
+    readback the real pipeline pays (one np.asarray of [64, 326] f32 per
+    block, overlapped by worker threads exactly like the e2e collect
+    pool). Runs in the post-first-fetch synchronized dispatch mode --
+    representative of e2e reality on this tunnel, NOT of chip capability
+    (that is bench_device_only's fetch-free number).
+
+    Returns (fps, readback_MBps)."""
+    import jax
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    from metdetpy_tpu.detectors.m3det import M3Detector
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import get_num_class, relative2abs_path
+
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json"))
+    h, w = frames_540p.shape[1:3]
+    block_frames = 64
+    det = M3Detector(window_sec=cfg.detector.window_sec, fps=25.0,
+                     mask=np.ones((h, w), np.uint8),
+                     num_cls=get_num_class(), cfg=cfg.detector.cfg,
+                     logger=BaseMetLog())
+    n_avail = frames_540p.shape[0] // block_frames
+    blocks = [jax.device_put(
+        frames_540p[i * block_frames:(i + 1) * block_frames])
+        for i in range(n_avail)]
+    jax.block_until_ready(blocks)
+    jax.block_until_ready(det.process_block_async(blocks[0])[0])
+
+    rb_bytes_per_block = block_frames * (det.max_peaks * 5 + 6) * 4
+    ex = ThreadPoolExecutor(max_workers=6)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        futures: "deque" = deque()
+        fetched = []
+        for i in range(n_blocks):
+            packed, _dst = det.process_block_async(blocks[i % n_avail])
+            futures.append(ex.submit(np.asarray, packed))
+            while len(futures) >= 6:
+                fetched.append(futures.popleft().result())
+        while futures:
+            fetched.append(futures.popleft().result())
+        dt = time.time() - t0
+        best = max(best, n_blocks * block_frames / dt)
+    rb_mbps = best / block_frames * rb_bytes_per_block / 1e6
+    return best, rb_mbps
+
+
+def bench_dldet():
+    """BASELINE config #4: the deep-learning detector (Flax YOLOv5s
+    MLDetector) as the MAIN video detector, end-to-end over a synthetic
+    1080p clip (reference config/dldet.json + MetLib/Detector.py:522-573).
+    Reports e2e fps on raw frames plus detection correctness."""
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+
+    fps = 25.0
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
+    w, h = 1920, 1080
+    meteor = SynthMeteor(start_sec=2.4, end_sec=4.4,
+                         pt1=(int(w * 0.45), int(h * 0.25)),
+                         pt2=(int(w * 0.30), int(h * 0.55)))
+    frames = generate_meteor_video(width=w, height=h, fps=fps,
+                                   duration_sec=n_seconds, meteors=[meteor],
+                                   n_stars=150, noise_sigma=4.0, color=True)
+    frames.sum()
+
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.collector.recheck_cfg.switch = False  # isolate the main-detector path
+
+    warm = frames[: int(fps * 6)]
+    run(warm, cfg)
+
+    n_frames = frames.shape[0]
+    passes = int(os.environ.get("BENCH_PASSES", 3))
+    results = []
+    for _ in range(passes):
+        results.append(run(frames, cfg))
+    elapsed, mdrf = min(results, key=lambda r: r[0])
+    value = n_frames / elapsed
+    n_meteors = sum(1 for rec in mdrf.results for t in rec.target
+                    if t.category == "METEOR")
+    sys.stderr.write(f"[bench:dldet] passes "
+                     f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
+                     f"METEOR records: {n_meteors}\n")
+    print(json.dumps({
+        "metric": "1080p_dldet_fps_per_chip",
+        "value": round(value, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "meteor_found": n_meteors >= 1,
+        "detector": "MLDetector(yolov5s_v5 flax, bf16, 320x320)",
+    }))
+
+
 def bench_yolo():
     """Device-only Flax YOLOv5s throughput (the MLDetector / recheck /
     MetDetPhoto compute path): batched forward+decode on HBM-resident
@@ -278,6 +448,9 @@ def main():
     if mode == "yolo":
         bench_yolo()
         return
+    if mode == "dldet":
+        bench_dldet()
+        return
     from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
 
     fps = 25.0
@@ -303,8 +476,30 @@ def main():
     import cv2
     small = np.stack([cv2.resize(f, (960, 540)) for f in frames[:256]])
     device_fps = bench_device_only(small)
-    sys.stderr.write(f"[bench] device-only fused-step fps: "
+    sys.stderr.write(f"[bench] device-only fused-step fps (quiet sky): "
                      f"{device_fps:.1f}\n")
+
+    # ACTIVE-SKY worst case, still fetch-free (the occupancy readback
+    # inside happens after its timing, and is this process's first d2h)
+    worst_fps, occupancy = bench_device_worstcase()
+    sys.stderr.write(f"[bench] device-only worst case (active sky): "
+                     f"{worst_fps:.1f} fps; occupancy {occupancy}\n")
+
+    # h2d transport probe: one timed block upload (the tunnel's staging
+    # copy completes during the call)
+    import jax
+    probe = np.ascontiguousarray(small[:64])
+    jax.block_until_ready(jax.device_put(probe))
+    t0 = time.time()
+    for _ in range(4):
+        jax.block_until_ready(jax.device_put(probe))
+    h2d_gbps = 4 * probe.nbytes / (time.time() - t0) / 1e9
+
+    # sustained throughput INCLUDING per-block packed readback (now in
+    # the synchronized post-fetch mode -- representative of e2e)
+    rb_fps, rb_mbps = bench_device_with_readback(small)
+    sys.stderr.write(f"[bench] device+readback sustained: {rb_fps:.1f} "
+                     f"fps ({rb_mbps:.2f} MB/s packed d2h)\n")
 
     # warmup pass compiles all block-shape buckets (first TPU compile is
     # slow; steady-state is what the metric measures)
@@ -342,6 +537,40 @@ def main():
         f"host memcpy GB/s per pass {[round(x, 1) for x in health]}; "
         f"METEOR records: {n_meteors}\n")
 
+    # ---- per-stage roofline (VERDICT r3 #1a): stage seconds from the
+    # best pass's StageTimer + analytically exact byte counts, so the
+    # transport-bound claim is a computed statement in the artifact ----
+    perf = mdrf.performance or {}
+    block_frames = 64
+    n_merged = n_frames  # exp_frame == 1 at real-time exposure
+    n_blocks = -(-n_merged // block_frames)
+    blk_bytes = block_frames * 540 * 960           # one u8 gray block
+    h2d_bytes = n_blocks * blk_bytes
+    d2h_bytes = n_blocks * block_frames * (64 * 5 + 6) * 4  # packed f32
+    wall = perf.get("wall_time_s", elapsed)
+    decode_s = perf.get("decode_wait_s", 0.0)
+    dispatch_s = perf.get("dispatch_s", 0.0)
+    collect_s = perf.get("collect_s", 0.0)
+    transport_s = dispatch_s + collect_s
+    stages = {
+        "wall_s": round(wall, 3),
+        "decode_wait_s": round(decode_s, 3),
+        "dispatch_s": round(dispatch_s, 3),
+        "collect_s": round(collect_s, 3),
+        "h2d_bytes": h2d_bytes,
+        "d2h_bytes": d2h_bytes,
+        "h2d_probe_gbps": round(h2d_gbps, 3),
+        "collect_effective_mbps": round(
+            d2h_bytes / collect_s / 1e6, 3) if collect_s else None,
+    }
+    # projected fps with the tunnel's dispatch/collect wait removed and
+    # replaced by the measured quiet-link transfer cost (what a local
+    # PCIe-fed chip approaches; decode/collector host work kept as-is)
+    link_s = h2d_bytes / (h2d_gbps * 1e9) if h2d_gbps else 0.0
+    non_transport_s = max(wall - transport_s, 1e-6)
+    stages["projected_fps_quiet_link"] = round(
+        n_frames / (non_transport_s + link_s), 2)
+
     print(json.dumps({
         "metric": "1080p_detect_fps_per_chip",
         "value": round(value, 2),
@@ -349,7 +578,12 @@ def main():
         "vs_baseline": round(value / REFERENCE_FPS, 2),
         "device_only_fps": round(device_fps, 2),
         "device_only_vs_baseline": round(device_fps / REFERENCE_FPS, 2),
+        "device_worstcase_fps": round(worst_fps, 2),
+        "device_worstcase_occupancy": occupancy,
+        "device_with_readback_fps": round(rb_fps, 2),
+        "readback_mbps": round(rb_mbps, 3),
         "host_memcpy_gbps": [round(x, 1) for x in health],
+        "stages": stages,
     }))
 
 

@@ -74,6 +74,11 @@ def detect_video(video_name: str, mask_name: Optional[str],
             continue_on_err=cfg.loader.continue_on_err)
         if issubclass(LoaderCls, BlockVideoLoader):
             loader_kwargs["keep_color_stacks"] = recheck_on
+            # upload blocks from the decode thread so the h2d transfer
+            # overlaps dispatch/collect (visual mode needs host frames)
+            loader_kwargs["device_put"] = (
+                hasattr(DetectorCls, "process_block_async")
+                and not visual_mode)
         video_loader = LoaderCls(WrapperCls, video_name, **loader_kwargs)
         video_info = video_loader.summary()
         logger.info(repr(video_loader))
@@ -348,20 +353,30 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     # consecutive-failure abort limit.
     device_epoch = 0
 
+    device_mode = getattr(video_loader, "device_put_mode", False)
+
     def dispatch(raw_block):
-        """Pad, start the async host->device transfer, enqueue the device
-        step, and hand the result handle to a collect worker."""
+        """Enqueue the device step for one block and hand the result
+        handle to a collect worker. In loader device_put mode the block
+        arrives as an already-uploaded, already-padded (device_array,
+        n_real) pair (the decode thread overlapped the transfer);
+        otherwise pad + device_put here."""
         nonlocal use_async
-        n_real = raw_block.shape[0]
-        if n_real < block_frames:
-            pad = np.repeat(raw_block[-1:], block_frames - n_real, axis=0)
-            blk = np.concatenate([raw_block, pad], axis=0)
+        if device_mode:
+            blk, n_real = raw_block
         else:
-            blk = raw_block
+            n_real = raw_block.shape[0]
+            if n_real < block_frames:
+                pad = np.repeat(raw_block[-1:], block_frames - n_real,
+                                axis=0)
+                blk = np.concatenate([raw_block, pad], axis=0)
+            else:
+                blk = raw_block
         if use_async:
             import jax
             try:
-                handle = detector.process_block_async(jax.device_put(blk))
+                handle = detector.process_block_async(
+                    blk if device_mode else jax.device_put(blk))
             except NotImplementedError:
                 use_async = False
             else:

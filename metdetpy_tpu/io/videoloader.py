@@ -517,7 +517,7 @@ class BlockVideoLoader(VanillaVideoLoader):
 
     def __init__(self, *args: Any, block_frames: Optional[int] = None,
                  maxsize: int = 4, keep_color_stacks: bool = False,
-                 **kwargs: Any) -> None:
+                 device_put: bool = False, **kwargs: Any) -> None:
         import os
         if block_frames is None:
             block_frames = int(os.environ.get("METDETPY_TPU_BLOCK_FRAMES",
@@ -526,6 +526,15 @@ class BlockVideoLoader(VanillaVideoLoader):
         self.block_queue: "queue.Queue" = queue.Queue(maxsize=maxsize)
         self.keep_color_stacks = keep_color_stacks
         self.color_stacks: dict[int, np.ndarray] = {}
+        # device_put mode: the DECODE THREAD uploads each completed block
+        # (jax.device_put returns once its staging copy is done, so the
+        # pooled buffer is immediately reusable) and queues
+        # (device_array, n_real) pairs -- the host->device transfer
+        # overlaps the consumer's dispatch/collect work instead of
+        # serializing on the main thread (VERDICT r2 next #1c). Opt-out:
+        # METDETPY_TPU_LOADER_DEVICE_PUT=0.
+        self.device_put_mode = device_put and os.environ.get(
+            "METDETPY_TPU_LOADER_DEVICE_PUT", "1") != "0"
         super().__init__(*args, **kwargs)
 
     def clear_queue(self):
@@ -780,17 +789,33 @@ class BlockVideoLoader(VanillaVideoLoader):
         """Queue a completed block with indefinite backpressure: the
         consumer can legitimately stall for minutes (first-compile on a
         tunneled TPU), so a bounded put timeout must retry, not kill the
-        decode thread. Stops promptly when the loader is stopped."""
+        decode thread. Stops promptly when the loader is stopped.
+
+        In device_put mode the block is uploaded HERE (decode thread) and
+        the queue carries (device_array, n_real) pairs; partial tail
+        blocks are padded to the fixed block shape by repeating the last
+        frame so every upload compiles to the same shape."""
+        if self.device_put_mode:
+            import jax
+            n_real = block.shape[0]
+            if n_real < self.block_frames:
+                pad = np.repeat(block[-1:], self.block_frames - n_real,
+                                axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            item = (jax.device_put(block), n_real)
+        else:
+            item = block
         while True:
             try:
-                self.block_queue.put(block, timeout=PUT_TIMEOUT)
+                self.block_queue.put(item, timeout=PUT_TIMEOUT)
                 return
             except queue.Full:
                 if self.read_stopped:
                     raise
 
-    def pop_block(self) -> Optional[np.ndarray]:
-        """Return the next [T, H, W(, 3)] uint8 block of merged frames, or
+    def pop_block(self):
+        """Return the next [T, H, W(, 3)] uint8 block of merged frames --
+        or, in device_put mode, an (on-device block, n_real) pair -- or
         None at end of stream. Re-raises any decode-thread failure instead
         of silently ending the stream."""
         try:
@@ -825,6 +850,8 @@ class BlockVideoLoader(VanillaVideoLoader):
 
     def pop(self):
         """Single merged frame, assembled from block reads (compat path)."""
+        assert not self.device_put_mode, (
+            "pop() serves host frames; disable device_put mode")
         if not hasattr(self, "_pending"):
             self._pending: list[np.ndarray] = []
         while not self._pending:
@@ -956,6 +983,9 @@ class ProcessVideoLoader(BlockVideoLoader):
         self._proc = None
         self._shm = None
         super().__init__(*args, **kwargs)
+        # blocks arrive via the shared-memory ring in the parent process;
+        # uploads happen on the consumer side here
+        self.device_put_mode = False
 
     def start(self):
         import multiprocessing as mp

@@ -4,6 +4,7 @@ steps are pure numpy+cv2 and unit-testable without rawpy; the rawpy decode
 itself is covered with a recording mock (LibRaw absent in-image).
 """
 
+import os
 import sys
 import types
 
@@ -186,3 +187,63 @@ def test_load_image_file_dispatches_raw(mock_rawpy):
     out = load_image_file(path, cfg=cfg)
     assert out is not None and out.dtype == np.uint8
     assert calls[-1]["gamma"] == (1.0, 0.0)
+
+
+class _FakeImageData:
+    """Recording pyexiv2.ImageData mock."""
+    instances = []
+
+    def __init__(self, data):
+        self.data = data
+        self.icc = None
+        _FakeImageData.instances.append(self)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def modify_icc(self, profile):
+        self.icc = profile
+
+    def get_bytes(self):
+        return self.data
+
+
+def test_save_img_embeds_srgb_icc(monkeypatch, tmp_path):
+    """save_img with color_space='sRGB' must embed resource/sRGB.icc via
+    pyexiv2 (reference MetLib/fileio.py:85-131). Uses the generated
+    minimal sRGB profile (tools/make_srgb_icc.py) and a pyexiv2 mock."""
+    import struct
+
+    from metdetpy_tpu.io.fileio import _color_profile_path, save_img
+
+    profile_path = _color_profile_path("sRGB")
+    assert os.path.isfile(profile_path), profile_path
+    profile = open(profile_path, "rb").read()
+    # the vendored profile is structurally valid ICC
+    assert profile[36:40] == b"acsp"
+    assert struct.unpack(">I", profile[:4])[0] == len(profile)
+
+    mod = types.ModuleType("pyexiv2")
+    mod.ImageData = _FakeImageData
+    monkeypatch.setitem(sys.modules, "pyexiv2", mod)
+    _FakeImageData.instances.clear()
+
+    out = str(tmp_path / "stack.jpg")
+    img = np.full((16, 16, 3), 128, np.uint8)
+    save_img(img, out, quality=95, compressing=3, color_space="sRGB")
+    assert os.path.getsize(out) > 0
+    (inst,) = _FakeImageData.instances
+    assert inst.icc == profile  # the exact profile bytes were embedded
+
+
+def test_save_img_without_pyexiv2_degrades(monkeypatch, tmp_path):
+    """pyexiv2 absent -> plain write, no crash."""
+    from metdetpy_tpu.io.fileio import save_img
+    monkeypatch.setitem(sys.modules, "pyexiv2", None)
+    out = str(tmp_path / "stack.png")
+    save_img(np.zeros((8, 8, 3), np.uint8), out, quality=95, compressing=3,
+             color_space="sRGB")
+    assert os.path.getsize(out) > 0
