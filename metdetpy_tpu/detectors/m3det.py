@@ -409,16 +409,19 @@ def _classic_block_step(gray_hist, sub_hist, classic_hist, ema_state, frames,
 
     seq = jnp.concatenate([classic_hist, frames], axis=0)  # [3+T, H, W]
     t_block = frames.shape[0]
-    f0 = seq[3:3 + t_block]
-    f1 = seq[2:2 + t_block]
-    f2 = seq[1:1 + t_block]
-    f3 = seq[0:t_block]
+    # reference index mapping (MetLib/Detector.py:258-276): id3 = newest,
+    # id0 = oldest; the NEWEST pair's diff builds the suppression mask and
+    # detection runs on the masked OLDEST pair
+    newest = seq[3:3 + t_block]
+    newer = seq[2:2 + t_block]
+    older = seq[1:1 + t_block]
+    oldest = seq[0:t_block]
     thr_b = thr[:, None, None]
-    diff23 = jnp.where(f2 > f3, f2 - f3, f3 - f2)
+    diff23 = jnp.where(newer > newest, newer - newest, newest - newer)
     diff23 = filters.binary_threshold(diff23, thr_b)
     diff23 = 255 - filters.dilate3x3(diff23)
-    a = jnp.bitwise_and(diff23, f0)
-    b = jnp.bitwise_and(diff23, f1)
+    a = jnp.bitwise_and(diff23, oldest)
+    b = jnp.bitwise_and(diff23, older)
     dst = jnp.where(a > b, a - b, b - a)
     dst = filters.binary_threshold(dst, thr_b)
     dst = filters.dilate3x3(dst)
@@ -443,6 +446,15 @@ class ClassicDetector(LineDetector):
                  **kw) -> None:
         # window is hardcoded to 4 frames regardless of window_sec
         # (reference MetLib/Detector.py:249-255)
+        # The 4-frame dst has no median blur or dynamic mask quieting it,
+        # so noisy video binarizes to tens of thousands of points per
+        # frame; the default M3 point budget would overflow-drop every
+        # frame (the reference only drops at >500 LINES) -- give classic
+        # 4x the budget unless the caller chose one.
+        if "max_points" not in kw or kw["max_points"] is None:
+            import os
+            kw["max_points"] = 4 * int(os.environ.get(
+                "METDETPY_TPU_MAX_POINTS", 8192))
         super().__init__(self.CLASSIC_WINDOW / fps, fps, mask, num_cls, cfg,
                          logger, **kw)
         self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)

@@ -15,21 +15,22 @@ def test_classic_detector_e2e():
     import os
     os.environ.setdefault("METDETPY_TPU_MAX_POINTS", "2048")
     from metdetpy_tpu.api import detect_video
-    # classic-friendly scene: clean sky, and slow enough that the
-    # normalized speed stays inside the preset trapezoid (<=42 %/s)
-    m = SynthMeteor(start_sec=0.8, end_sec=2.4,
-                    pt1=(int(W * .75), int(H * .2)),
-                    pt2=(int(W * .3), int(H * .65)), brightness=250,
-                    decay_sec=0.15)
+    # the uzanka 4-frame algorithm's design regime is SLOW-SHUTTER
+    # footage: the suppression mask comes from the NEWEST frame pair
+    # (reference MetLib/Detector.py:258-276), so an event must be gone
+    # two frames later or it masks itself -- merge 0.8s exposures so the
+    # meteor occupies ~2 merged frames mid-clip
+    m = SynthMeteor(start_sec=4.0, end_sec=5.6, pt1=(150, 25),
+                    pt2=(95, 70), brightness=250, decay_sec=0.12)
     frames = generate_meteor_video(width=W, height=H, fps=FPS,
-                                   duration_sec=3.2, meteors=[m],
+                                   duration_sec=8.0, meteors=[m],
                                    n_stars=4, noise_sigma=0.7)
     cfg = MainDetectCfg.from_json_file(
         relative2abs_path("./config/m3det_normal.json"))
     cfg.loader.name = "BlockVideoLoader"
     cfg.loader.wrapper = "NumpyVideoWrapper"
     cfg.loader.resize = None
-    cfg.loader.exp_time = "real-time"
+    cfg.loader.exp_time = 0.8
     cfg.detector.name = "ClassicDetector"
     cfg.collector.recheck_cfg.switch = False
     mdrf = detect_video(frames, None, cfg, work_mode="backend")
