@@ -238,13 +238,19 @@ def bench_device_worstcase(n_blocks: int = 32):
 
     cfg = MainDetectCfg.from_json_file(
         relative2abs_path("./config/m3det_normal.json"))
+    # FIXED binary threshold: with the adaptive threshold on, the salt
+    # noise inflates the sub-ROI sigma until almost nothing binarizes
+    # (first recording measured npix ~93 -- the "worst case" defeated
+    # itself); a pinned threshold keeps the dst dense by construction
+    cfg.detector.cfg.binary.adaptive_bi_thre = False
+    cfg.detector.cfg.binary.init_value = 30
     h, w = 540, 960
     block_frames = 64
     rng = np.random.default_rng(7)
     # per-frame salt: ~1500 fresh bright pixels; with a 25-frame window
     # the rolling max keeps each hot for n frames -> tens of thousands of
     # binarized pixels per frame, far past max_points (8192): every Hough
-    # chunk votes at full occupancy
+    # chunk votes at full occupancy (overflow raised on every frame)
     n_avail = 4
     frames = rng.normal(16, 4, (n_avail * block_frames, h, w))
     salt_idx = rng.integers(0, h * w, (n_avail * block_frames, 1500))
@@ -551,25 +557,42 @@ def main():
     decode_s = perf.get("decode_wait_s", 0.0)
     dispatch_s = perf.get("dispatch_s", 0.0)
     collect_s = perf.get("collect_s", 0.0)
-    transport_s = dispatch_s + collect_s
+    # decode-thread decomposition: the loader uploads blocks itself
+    # (device_put mode), so its h2d time hides inside decode_wait --
+    # the loader's own stage accounting separates it
+    loader_h2d_s = perf.get("loader_h2d_s", 0.0)
+    loader_host_s = sum(perf.get(f"loader_{k}", 0.0)
+                        for k in ("read", "preproc", "merge"))
+    transport_s = dispatch_s + collect_s + loader_h2d_s
     stages = {
         "wall_s": round(wall, 3),
         "decode_wait_s": round(decode_s, 3),
         "dispatch_s": round(dispatch_s, 3),
         "collect_s": round(collect_s, 3),
+        "loader_h2d_s": round(loader_h2d_s, 3),
+        "loader_host_s": round(loader_host_s, 3),
         "h2d_bytes": h2d_bytes,
         "d2h_bytes": d2h_bytes,
         "h2d_probe_gbps": round(h2d_gbps, 3),
+        "loader_h2d_gbps": round(
+            h2d_bytes / loader_h2d_s / 1e9, 3) if loader_h2d_s else None,
         "collect_effective_mbps": round(
             d2h_bytes / collect_s / 1e6, 3) if collect_s else None,
     }
-    # projected fps with the tunnel's dispatch/collect wait removed and
-    # replaced by the measured quiet-link transfer cost (what a local
-    # PCIe-fed chip approaches; decode/collector host work kept as-is)
-    link_s = h2d_bytes / (h2d_gbps * 1e9) if h2d_gbps else 0.0
+    # projected fps with ALL measured transport waits (loader uploads,
+    # dispatch, collect round trips) removed and replaced by the byte
+    # cost over a local PCIe-class link (8 GB/s both ways) -- the
+    # computed "this host is transport-bound at X; locally-fed this
+    # pipeline does Y" statement. Host decode/collector work kept as-is.
+    pcie = 8e9
+    link_s = (h2d_bytes + d2h_bytes) / pcie
     non_transport_s = max(wall - transport_s, 1e-6)
-    stages["projected_fps_quiet_link"] = round(
+    stages["projected_fps_local_pcie"] = round(
         n_frames / (non_transport_s + link_s), 2)
+    # same projection against the measured quiet-tunnel probe bandwidth
+    if h2d_gbps:
+        stages["projected_fps_probe_link"] = round(
+            n_frames / (non_transport_s + h2d_bytes / (h2d_gbps * 1e9)), 2)
 
     print(json.dumps({
         "metric": "1080p_detect_fps_per_chip",

@@ -188,10 +188,15 @@ def detect_video(video_name: str, mask_name: Optional[str],
         timer.log_summary(logger)
         logger.stop()
 
+    perf = {k: v for k, v in timer.summary().items()}
+    # decode-thread stage accounting (incl. device_put upload time), so
+    # consumers can decompose decode_wait into host work vs transfer
+    for k, v in getattr(video_loader, "stage_stats", {}).items():
+        perf[f"loader_{k}"] = round(v, 4) if isinstance(v, float) else v
     return MDRF(version=VERSION, basic_info=video_info, config=cfg,
                 type="prediction", anno_size=video_info.resolution,
                 results=collector.met_exporter.meteor_list,
-                performance={k: v for k, v in timer.summary().items()})
+                performance=perf)
 
 
 def detect_video_temporal(video_name: str, mask_name: Optional[str],

@@ -535,6 +535,10 @@ class BlockVideoLoader(VanillaVideoLoader):
         # METDETPY_TPU_LOADER_DEVICE_PUT=0.
         self.device_put_mode = device_put and os.environ.get(
             "METDETPY_TPU_LOADER_DEVICE_PUT", "1") != "0"
+        # decode-thread stage accounting (read/preproc/merge/qput/h2d),
+        # surfaced into the pipeline performance dict so the bench
+        # roofline can decompose decode_wait into host work vs upload
+        self.stage_stats: dict = {}
         super().__init__(*args, **kwargs)
 
     def clear_queue(self):
@@ -544,6 +548,7 @@ class BlockVideoLoader(VanillaVideoLoader):
     def start(self):
         self.clear_queue()
         self.color_stacks.clear()
+        self.stage_stats.clear()
         self._pending = []
         self._thread_exc = None
         self.read_stopped = False
@@ -574,8 +579,9 @@ class BlockVideoLoader(VanillaVideoLoader):
         import os as _os
         import time as _time
         from concurrent.futures import ThreadPoolExecutor
-        stats = {"read": 0.0, "preproc": 0.0, "merge": 0.0, "qput": 0.0} \
-            if _os.environ.get("METDETPY_TPU_LOADER_STATS") else None
+        stats = self.stage_stats
+        stats.update({"read": 0.0, "preproc": 0.0, "merge": 0.0,
+                      "qput": 0.0})
         e = self.exp_frame
         w, h = self.runtime_size
         n_raw_total = (self.iterations // e) * e
@@ -769,9 +775,9 @@ class BlockVideoLoader(VanillaVideoLoader):
         except BaseException as exc:  # surface decode-thread failures
             self._thread_exc = exc
         finally:
-            if stats is not None:
+            if _os.environ.get("METDETPY_TPU_LOADER_STATS"):
                 self.logger.info("loader stats: " + ", ".join(
-                    f"{k}={v:.2f}s" for k, v in stats.items()))
+                    f"{k}={v:.2f}" for k, v in stats.items()))
             if pool is not None:
                 pool.shutdown(wait=False)
             self.read_stopped = True
@@ -796,13 +802,19 @@ class BlockVideoLoader(VanillaVideoLoader):
         blocks are padded to the fixed block shape by repeating the last
         frame so every upload compiles to the same shape."""
         if self.device_put_mode:
+            import time as _t
+
             import jax
             n_real = block.shape[0]
             if n_real < self.block_frames:
                 pad = np.repeat(block[-1:], self.block_frames - n_real,
                                 axis=0)
                 block = np.concatenate([block, pad], axis=0)
+            t0 = _t.perf_counter()
             item = (jax.device_put(block), n_real)
+            st = self.stage_stats
+            st["h2d_s"] = st.get("h2d_s", 0.0) + _t.perf_counter() - t0
+            st["h2d_bytes"] = st.get("h2d_bytes", 0) + block.nbytes
         else:
             item = block
         while True:
