@@ -582,6 +582,7 @@ class BlockVideoLoader(VanillaVideoLoader):
         stats = self.stage_stats
         stats.update({"read": 0.0, "preproc": 0.0, "merge": 0.0,
                       "qput": 0.0})
+        loop_t0 = _time.perf_counter()
         e = self.exp_frame
         w, h = self.runtime_size
         n_raw_total = (self.iterations // e) * e
@@ -775,6 +776,7 @@ class BlockVideoLoader(VanillaVideoLoader):
         except BaseException as exc:  # surface decode-thread failures
             self._thread_exc = exc
         finally:
+            stats["loop_wall"] = _time.perf_counter() - loop_t0
             if _os.environ.get("METDETPY_TPU_LOADER_STATS"):
                 self.logger.info("loader stats: " + ", ".join(
                     f"{k}={v:.2f}" for k, v in stats.items()))
