@@ -550,18 +550,52 @@ class BlockVideoLoader(VanillaVideoLoader):
         self.color_stacks.clear()
         self.stage_stats.clear()
         self._pending = []
+        self._peeked = None
+        self._dev_preproc_fn = None
         self._thread_exc = None
         self.read_stopped = False
         self.status = True
         self.video.set_to(self.start_frame)
-        self.thread = threading.Thread(target=self._blockloop, daemon=True)
+        target = (self._rawblockloop
+                  if self._device_preproc_gate() is not None
+                  else self._blockloop)
+        self.thread = threading.Thread(target=target, daemon=True)
         self.thread.start()
+
+    def _device_preproc_gate(self) -> Optional[bool]:
+        """Whether the whole preprocess can run ON DEVICE (cv2-bit-exact:
+        2:1 downscale + BT.601 gray, ops.transforms.make_block_preprocess),
+        letting the decode thread assemble RAW blocks (host does only the
+        codec decode). Returns the down2 flag, or None for the host path.
+
+        Conditions: device_put mode, grayscale target, no mask/debayer/
+        color stacks, single-frame exposure, linear interpolation, and the
+        runtime size either equal to or exactly half the raw size."""
+        import os
+        if not self.device_put_mode or self.keep_color_stacks:
+            return None
+        if os.environ.get("METDETPY_TPU_DEVICE_PREPROC", "1") == "0":
+            return None
+        if (not self.grayscale or self.preprocess.masked or self.debayer
+                or self.exp_frame != 1
+                or self.preprocess.interpolation != cv2.INTER_LINEAR):
+            return None
+        rw, rh = self.raw_size
+        w, h = self.runtime_size
+        if (rw, rh) == (w, h):
+            return False
+        if (rw, rh) == (2 * w, 2 * h):
+            return True
+        return None
 
     PREPROC_CHUNK = 16  # raw frames preprocessed in parallel per batch
 
     def _read_raw_chunk(self, want: int) -> list:
         """Sequentially decode up to `want` raw frames (decoder state is
         not thread-safe; only the preprocess fans out)."""
+        if self._peeked is not None:
+            out, self._peeked = self._peeked, None
+            return out
         out = []
         while len(out) < want:
             if self.read_stopped:
@@ -574,6 +608,84 @@ class BlockVideoLoader(VanillaVideoLoader):
                 continue
             out.append(raw)
         return out
+
+    def _rawblockloop(self):
+        """Raw-block decode loop for device-preprocess mode: frames are
+        copied verbatim into RAW-size block buffers; _put_block uploads
+        them and dispatches the jitted exact resize+gray on device. Color
+        sources upload 3x the gray bytes; unless explicitly enabled they
+        fall back to the host-preprocess loop (the fused native path)."""
+        import os as _os
+        import time as _time
+        from ..ops.transforms import make_block_preprocess
+        stats = self.stage_stats
+        stats.update({"read": 0.0, "preproc": 0.0, "merge": 0.0,
+                      "qput": 0.0})
+        loop_t0 = _time.perf_counter()
+        try:
+            first = self._read_raw_chunk(self.PREPROC_CHUNK)
+            if not first:
+                return
+            color = first[0].ndim == 3
+            if color and _os.environ.get(
+                    "METDETPY_TPU_DEVICE_PREPROC_COLOR", "0") != "1":
+                self._peeked = first
+                self._blockloop()
+                return
+            down2 = self._device_preproc_gate()
+            self._dev_preproc_fn = make_block_preprocess(bool(down2), color)
+            rw, rh = self.raw_size
+            block_shape = ((self.block_frames, rh, rw, 3) if color
+                           else (self.block_frames, rh, rw))
+            pool_size = self.block_queue.maxsize + int(
+                _os.environ.get("METDETPY_TPU_PIPELINE_DEPTH", 6)) + 2
+            block_pool = _lease_block_pool(block_shape, pool_size)
+            self._leased_pool = (block_shape, block_pool)
+            pool_idx = 0
+            block = block_pool[pool_idx]
+            n_in_block = 0
+            raw_left = self.iterations - len(first)
+            chunk = first
+            while True:
+                t0 = _time.perf_counter()
+                for raw in chunk:
+                    np.copyto(block[n_in_block], raw)
+                    n_in_block += 1
+                    if n_in_block == self.block_frames:
+                        stats["merge"] += _time.perf_counter() - t0
+                        t0 = _time.perf_counter()
+                        self._put_block(block)
+                        pool_idx = (pool_idx + 1) % pool_size
+                        block = block_pool[pool_idx]
+                        n_in_block = 0
+                        stats["qput"] += _time.perf_counter() - t0
+                        t0 = _time.perf_counter()
+                stats["merge"] += _time.perf_counter() - t0
+                if raw_left <= 0 or self.read_stopped:
+                    break
+                t0 = _time.perf_counter()
+                chunk = self._read_raw_chunk(min(self.PREPROC_CHUNK,
+                                                 raw_left))
+                stats["read"] += _time.perf_counter() - t0
+                if not chunk:
+                    break
+                raw_left -= len(chunk)
+            if n_in_block:
+                self._put_block(block[:n_in_block].copy())
+        except BaseException as exc:  # surface decode-thread failures
+            self._thread_exc = exc
+        finally:
+            stats["loop_wall"] = _time.perf_counter() - loop_t0
+            if _os.environ.get("METDETPY_TPU_LOADER_STATS"):
+                self.logger.info("loader stats (raw): " + ", ".join(
+                    f"{k}={v:.2f}" for k, v in stats.items()))
+            self.read_stopped = True
+            for _ in range(120):
+                try:
+                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
+                    break
+                except queue.Full:
+                    continue
 
     def _blockloop(self):
         import os as _os
@@ -813,7 +925,12 @@ class BlockVideoLoader(VanillaVideoLoader):
                                 axis=0)
                 block = np.concatenate([block, pad], axis=0)
             t0 = _t.perf_counter()
-            item = (jax.device_put(block), n_real)
+            dev = jax.device_put(block)
+            if self._dev_preproc_fn is not None:
+                # exact resize+gray on device (async jitted dispatch);
+                # downstream consumers see runtime-size gray blocks
+                dev = self._dev_preproc_fn(dev)
+            item = (dev, n_real)
             st = self.stage_stats
             st["h2d_s"] = st.get("h2d_s", 0.0) + _t.perf_counter() - t0
             st["h2d_bytes"] = st.get("h2d_bytes", 0) + block.nbytes

@@ -39,6 +39,47 @@ def gray2bgr(img: jax.Array) -> jax.Array:
     return jnp.repeat(img[..., None], 3, axis=-1)
 
 
+def bgr2gray_exact(img: jax.Array) -> jax.Array:
+    """[..., 3] BGR uint8 -> [...] uint8, BIT-EXACT with cv2's u8 path
+    (15-bit fixed-point coefficients summing to 1<<15; verified against
+    cv2 5.0 in tests -- same math as native/metring.cpp)."""
+    b = img[..., 0].astype(jnp.uint32)
+    g = img[..., 1].astype(jnp.uint32)
+    r = img[..., 2].astype(jnp.uint32)
+    return ((3735 * b + 19235 * g + 9798 * r + (1 << 14)) >> 15).astype(
+        jnp.uint8)
+
+
+def downscale2x_exact(block: jax.Array) -> jax.Array:
+    """Exact cv2.resize INTER_LINEAR for the 2:1 case on [..., H, W(, C)]
+    uint8: source coords hit pixel-pair midpoints with coefficient
+    1024/1024, and OpenCV's fixed-point combine reduces algebraically to
+    ((x00 + x01 + x10 + x11 + 2) >> 2)."""
+    has_c = block.ndim >= 3 and block.shape[-1] in (1, 3, 4)
+    ha = block.ndim - (3 if has_c else 2)  # H axis index
+    x = block.astype(jnp.uint16)
+    x = jax.lax.slice_in_dim(x, 0, None, 2, ha) \
+        + jax.lax.slice_in_dim(x, 1, None, 2, ha)
+    x = jax.lax.slice_in_dim(x, 0, None, 2, ha + 1) \
+        + jax.lax.slice_in_dim(x, 1, None, 2, ha + 1)
+    return ((x + 2) >> 2).astype(jnp.uint8)
+
+
+def make_block_preprocess(down2: bool, color: bool):
+    """Jitted cv2-BIT-EXACT device preprocess for the hot feed path:
+    (optional) exact 2:1 downscale then (for color sources) exact BT.601
+    grayscale -- the same resize-then-gray order as HostPreprocess. Lets
+    the loader upload RAW decoded blocks and keep the whole preprocess
+    on device (host does only codec decode)."""
+
+    @jax.jit
+    def fn(block: jax.Array) -> jax.Array:
+        out = downscale2x_exact(block) if down2 else block
+        return bgr2gray_exact(out) if color else out
+
+    return fn
+
+
 def resize_bilinear(img: jax.Array, dsize_wh: tuple[int, int]) -> jax.Array:
     """Bilinear resize of [..., H, W(, C)] uint8 to (w, h)."""
     w, h = dsize_wh

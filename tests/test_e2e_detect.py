@@ -118,12 +118,51 @@ def test_device_failure_recovery(synth_frames, monkeypatch):
 
 
 def test_persistent_device_failure_aborts(synth_frames, monkeypatch):
+    """Three consecutive POST-reset failures abort the run. Failures of
+    blocks already inflight when a reset happens are poisoned by the same
+    fault and don't count, so the clip must span enough blocks for three
+    distinct reset epochs: shrink block/pipeline sizes to guarantee it."""
     from metdetpy_tpu.detectors.m3det import M3Detector
 
     def always_fail(self, handle):
         raise RuntimeError("persistent backend failure")
 
     monkeypatch.setattr(M3Detector, "collect", always_fail)
+    monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "8")
+    monkeypatch.setenv("METDETPY_TPU_PIPELINE_DEPTH", "2")
     cfg = _base_cfg()
     with pytest.raises(RuntimeError, match="persistent backend failure"):
         detect_video(synth_frames, None, cfg, work_mode="backend")
+
+
+def test_transient_fault_does_not_abort_deep_pipeline(synth_frames,
+                                                      monkeypatch):
+    """One transient fault typically poisons every already-dispatched
+    inflight handle; their back-to-back failures must not trip the
+    consecutive-failure abort (they are zero-filled instead), and
+    detection continues after the single reset."""
+    from metdetpy_tpu.detectors.m3det import M3Detector
+
+    orig_collect = M3Detector.collect
+    state = {"calls": 0, "resets": 0}
+
+    def flaky_collect(self, handle):
+        state["calls"] += 1
+        # the fault and the 3 handles dispatched before the reset all fail
+        if 1 <= state["calls"] <= 4:
+            raise RuntimeError("injected FAILED_PRECONDITION")
+        return orig_collect(self, handle)
+
+    orig_reset = M3Detector.reset_device_state
+
+    def counting_reset(self):
+        state["resets"] += 1
+        return orig_reset(self)
+
+    monkeypatch.setattr(M3Detector, "collect", flaky_collect)
+    monkeypatch.setattr(M3Detector, "reset_device_state", counting_reset)
+    monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "16")
+    monkeypatch.setenv("METDETPY_TPU_PIPELINE_DEPTH", "4")
+    cfg = _base_cfg()
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    assert state["resets"] == 1, state

@@ -139,3 +139,72 @@ def test_process_loader_color_stacks():
     loader.release()
     assert stack is not None and stack.shape == (24, 32, 3)
     assert stack.max() >= frames.max() - 1
+
+
+def test_device_preprocess_ops_bit_exact_with_cv2():
+    """downscale2x_exact / bgr2gray_exact match cv2 bit-for-bit (the
+    device-preprocess feed path must be indistinguishable from the host
+    path)."""
+    import cv2
+    import numpy as np
+    from metdetpy_tpu.ops.transforms import (bgr2gray_exact,
+                                             downscale2x_exact)
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (4, 108, 192), np.uint8)
+    out = np.asarray(downscale2x_exact(gray))
+    for t in range(4):
+        exp = cv2.resize(gray[t], (96, 54), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(out[t], exp)
+    color = rng.integers(0, 256, (2, 64, 96, 3), np.uint8)
+    outc = np.asarray(downscale2x_exact(color))
+    for t in range(2):
+        exp = cv2.resize(color[t], (48, 32), interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(outc[t], exp)
+    g = np.asarray(bgr2gray_exact(color))
+    for t in range(2):
+        np.testing.assert_array_equal(
+            g[t], cv2.cvtColor(color[t], cv2.COLOR_BGR2GRAY))
+    # composed (resize then gray), the HostPreprocess order
+    from metdetpy_tpu.ops.transforms import make_block_preprocess
+    fn = make_block_preprocess(True, True)
+    comp = np.asarray(fn(color))
+    for t in range(2):
+        small = cv2.resize(color[t], (48, 32),
+                           interpolation=cv2.INTER_LINEAR)
+        np.testing.assert_array_equal(
+            comp[t], cv2.cvtColor(small, cv2.COLOR_BGR2GRAY))
+
+
+def test_device_preprocess_e2e_equals_host_path(monkeypatch):
+    """detect_video over a 2:1-downscaled gray source produces identical
+    results whether the preprocess runs on device (raw-block uploads) or
+    on host (the fused native path)."""
+    import numpy as np
+    from metdetpy_tpu.api import detect_video
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+    from metdetpy_tpu.utils import relative2abs_path
+    W, H, FPS = 512, 288, 25.0
+    frames = generate_meteor_video(
+        width=W, height=H, fps=FPS, duration_sec=4.0,
+        meteors=[SynthMeteor(1.0, 2.2, (int(W * .7), int(H * .3)),
+                             (int(W * .35), int(H * .7)))],
+        n_stars=40, noise_sigma=3.0, seed=9)
+
+    def run(dev_pre: str):
+        monkeypatch.setenv("METDETPY_TPU_DEVICE_PREPROC", dev_pre)
+        cfg = MainDetectCfg.from_json_file(
+            relative2abs_path("./config/m3det_normal.json"))
+        cfg.loader.name = "BlockVideoLoader"
+        cfg.loader.wrapper = "NumpyVideoWrapper"
+        cfg.loader.resize = W // 2   # exact 2:1
+        cfg.loader.exp_time = "real-time"
+        cfg.collector.recheck_cfg.switch = False
+        return detect_video(frames, None, cfg, work_mode="backend")
+
+    on = run("1")
+    off = run("0")
+    assert [r.to_dict() for r in on.results] \
+        == [r.to_dict() for r in off.results]
+    assert any(t.category == "METEOR"
+               for r in on.results for t in r.target)
