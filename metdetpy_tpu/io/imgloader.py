@@ -12,6 +12,8 @@ import multiprocessing as mp
 import queue
 import threading
 from abc import ABCMeta, abstractmethod
+from collections import deque
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Any, Optional, Union
 
 import numpy as np
@@ -23,7 +25,6 @@ from .fileio import (SUPPORT_COMMON_FORMAT, SUPPORT_RAW_FORMAT, is_ext_within,
 ImgPair = tuple[Union[str, None], Union[np.ndarray, None]]
 
 IMG_GET_TIMEOUT = 10
-MT_HEART_TIME = 1
 DEFAULT_WORKER_NUM = max(1, mp.cpu_count() // 2)
 
 
@@ -138,87 +139,67 @@ class ThreadImgLoader(VanillaImgLoader):
 
 
 class MultiThreadImgLoader(VanillaImgLoader):
-    """Worker-pool loader with strictly ordered pop() and a semaphore-bounded
-    prefetch budget (reference MetLib/imgloader.py:158-325)."""
+    """Pool loader: decodes ahead on an executor while ``pop()`` consumes a
+    bounded window of futures in submission order.
+
+    Functional parity with reference MetLib/imgloader.py:158-325 (parallel
+    decode, strictly ordered output, bounded in-flight prefetch), but a
+    different construction: instead of free-running workers coordinating
+    through a shared index/semaphore/result-map, submission order IS the
+    output order — ``pop()`` takes the oldest future and tops the window
+    back up, so ordering and backpressure both fall out of one deque and
+    no cross-thread bookkeeping exists to race.
+    """
 
     def __init__(self, img_fn_list: list[str],
                  num_workers: int = DEFAULT_WORKER_NUM,
                  max_prefetch: Optional[int] = None, **kwargs: Any) -> None:
         super().__init__(img_fn_list, **kwargs)
         self.num_workers = max(1, int(num_workers))
-        self.max_prefetch = max(1, int(max_prefetch
-                                       if max_prefetch is not None
-                                       else max(2, self.num_workers * 2)))
-        self._assign_lock = threading.Lock()
-        self._next_assign_idx = 0
-        self.results: dict[int, ImgPair] = {}
-        self.results_cond = threading.Condition()
-        self.next_pop_idx = 0
-        self._space_sem = threading.Semaphore(self.max_prefetch)
-        self.workers: list[threading.Thread] = []
-        self.stopped = False
-        self._workers_alive = 0
+        # in-flight decode budget: bounds peak memory (RAW decodes are
+        # ~100MB each) while keeping every worker fed
+        self.window = max(1, int(max_prefetch if max_prefetch is not None
+                                 else max(2, self.num_workers * 2)))
+        self._pool: Optional[ThreadPoolExecutor] = None
+        self._inflight: "deque[Future[ImgPair]]" = deque()
+        self._submitted = 0
 
-    def _worker(self, wid: int):
-        try:
-            while not self.stopped:
-                if not self._space_sem.acquire(timeout=MT_HEART_TIME):
-                    if self.stopped:
-                        break
-                    continue
-                with self._assign_lock:
-                    idx = self._next_assign_idx
-                    self._next_assign_idx += 1
-                if idx >= self.num_images:
-                    self._space_sem.release()
-                    break
-                pair = self._load_at(idx)
-                with self.results_cond:
-                    self.results[idx] = pair
-                    self.results_cond.notify_all()
-        except Exception as e:
-            self.logger.error(f"worker#{wid} terminated: {e!r}")
-        finally:
-            with self.results_cond:
-                self._workers_alive -= 1
-                self.results_cond.notify_all()
+    def _top_up(self) -> None:
+        assert self._pool is not None
+        while (self._submitted < self.num_images
+               and len(self._inflight) < self.window):
+            self._inflight.append(
+                self._pool.submit(self._load_at, self._submitted))
+            self._submitted += 1
 
     def start(self):
-        with self.results_cond:
-            self.results.clear()
-            self.next_pop_idx = 0
-        with self._assign_lock:
-            self._next_assign_idx = 0
-        self._space_sem = threading.Semaphore(self.max_prefetch)
-        self.stopped = False
-        self.workers = []
-        self._workers_alive = self.num_workers
-        for i in range(self.num_workers):
-            t = threading.Thread(target=self._worker, kwargs={"wid": i},
-                                 daemon=True)
-            t.start()
-            self.workers.append(t)
+        self.stop()
+        self._pool = ThreadPoolExecutor(max_workers=self.num_workers,
+                                        thread_name_prefix="imgdecode")
+        self._submitted = 0
+        self._top_up()
 
     def pop(self) -> ImgPair:
-        with self.results_cond:
-            while True:
-                if self.next_pop_idx in self.results:
-                    fname, img = self.results.pop(self.next_pop_idx)
-                    self.next_pop_idx += 1
-                    self._space_sem.release()
-                    if fname is None and img is None:
-                        continue
-                    return (fname, img)
-                if (self._workers_alive <= 0
-                        and self._next_assign_idx >= self.num_images
-                        and not self.results):
-                    return (None, None)
-                self.results_cond.wait(timeout=MT_HEART_TIME)
+        if self._pool is None and self._submitted == 0:
+            self.start()  # pop() before start(): begin from the first image
+        while self._inflight:
+            oldest = self._inflight.popleft()
+            try:
+                pair = oldest.result(timeout=IMG_GET_TIMEOUT * self.window)
+            except Exception as e:  # decode errors are handled in _load_at;
+                self.logger.error(f"decode future failed: {e!r}")
+                self._top_up()
+                continue
+            # refill only after delivery so `window` strictly bounds
+            # concurrent decodes (RAW frames are ~100MB each)
+            self._top_up()
+            return pair
+        return (None, None)
 
     def stop(self):
-        self.stopped = True
-        for _ in range(self.num_workers):
-            self._space_sem.release()
-        for t in self.workers:
-            if t.is_alive():
-                t.join()
+        if self._pool is not None:
+            for fut in self._inflight:
+                fut.cancel()
+            self._pool.shutdown(wait=True)
+            self._pool = None
+        self._inflight.clear()

@@ -347,14 +347,25 @@ class VanillaVideoLoader(BaseVideoLoader):
     def raw_size(self) -> list[int]:
         return self.video.size
 
+    @property
+    def _video_desc(self) -> str:
+        """Loggable video identity: the path, or a shape summary for
+        in-memory array sources (never the full array repr)."""
+        if isinstance(self.video_name, np.ndarray):
+            return ("ndarray["
+                    + "x".join(map(str, self.video_name.shape)) + "]")
+        return repr(self.video_name)
+
     def summary(self) -> BasicInfo:
         info = super().summary()
-        info.video = self.video_name
+        info.video = (self.video_name
+                      if not isinstance(self.video_name, np.ndarray)
+                      else self._video_desc)
         info.mask = self.mask_name
         return info
 
     def __repr__(self) -> str:
-        return (f"{self.__class__.__name__}: video={self.video_name!r} "
+        return (f"{self.__class__.__name__}: video={self._video_desc} "
                 f"mask={self.mask_name!r} frames={self.video_total_frames} "
                 f"raw={self.raw_size} runtime={self.runtime_size} "
                 f"gray={self.grayscale} exp_time={self.exp_time:.2f}s "

@@ -175,6 +175,65 @@ def test_device_preprocess_ops_bit_exact_with_cv2():
             comp[t], cv2.cvtColor(small, cv2.COLOR_BGR2GRAY))
 
 
+def test_device_preproc_gate_conditions(monkeypatch):
+    """The gate must engage only where the device preprocess is bit-exact:
+    device_put mode, gray target, single exposure, linear interp, and a
+    size that is the raw size or exactly half of it."""
+    gray = np.zeros((8, 32, 48), np.uint8)
+
+    def gate(**kw):
+        kw.setdefault("exp_option", "real-time")
+        kw.setdefault("merge_func", "max")
+        kw.setdefault("grayscale", True)
+        kw.setdefault("device_put", True)
+        kw.setdefault("block_frames", 8)
+        return BlockVideoLoader(NumpyVideoWrapper, gray,
+                                **kw)._device_preproc_gate()
+
+    assert gate(resize_option=[24, 16]) is True     # exact 2:1 -> downscale
+    assert gate(resize_option=None) is False        # same size -> no scale
+    assert gate(resize_option=[30, 20]) is None     # non-2:1 -> host path
+    assert gate(resize_option=[24, 16], grayscale=False) is None
+    assert gate(resize_option=[24, 16], keep_color_stacks=True) is None
+    assert gate(resize_option=[24, 16], device_put=False) is None
+    slow = _slow_shutter_video(exp_frames=2, n_exposures=8, h=32, w=48)
+    assert BlockVideoLoader(
+        NumpyVideoWrapper, slow, resize_option=[24, 16], exp_option=2 / 25,
+        merge_func="max", grayscale=True, device_put=True,
+        block_frames=8)._device_preproc_gate() is None  # merged exposures
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_PREPROC", "0")
+    assert gate(resize_option=[24, 16]) is None     # env kill-switch
+
+
+def test_device_preproc_color_source_falls_back(monkeypatch):
+    """A color SOURCE must fall back to the host-preprocess loop (raw
+    color uploads would cost 12x the processed bytes) and still produce
+    the exact host-path stream."""
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_PREPROC", "1")
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 255, (24, 32, 48, 3), dtype=np.uint8)
+
+    def stream(device_put: bool):
+        loader = BlockVideoLoader(
+            NumpyVideoWrapper, frames, resize_option=[24, 16],
+            exp_option="real-time", merge_func="max", grayscale=True,
+            device_put=device_put, block_frames=8)
+        loader.start()
+        out = []
+        while True:
+            item = loader.pop_block()
+            if item is None:
+                break
+            if device_put:
+                dev, n_real = item
+                out.append(np.asarray(dev)[:n_real])
+            else:
+                out.append(np.asarray(item))
+        return np.concatenate(out)
+
+    np.testing.assert_array_equal(stream(True), stream(False))
+
+
 def test_device_preprocess_e2e_equals_host_path(monkeypatch):
     """detect_video over a 2:1-downscaled gray source produces identical
     results whether the preprocess runs on device (raw-block uploads) or
