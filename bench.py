@@ -589,7 +589,6 @@ def main():
     loader_h2d_s = perf.get("loader_h2d_s", 0.0)
     loader_host_s = sum(perf.get(f"loader_{k}", 0.0)
                         for k in ("read", "preproc", "merge"))
-    transport_s = dispatch_s + collect_s + loader_h2d_s
     stages = {
         "wall_s": round(wall, 3),
         "decode_wait_s": round(decode_s, 3),
@@ -607,20 +606,29 @@ def main():
         "collect_effective_mbps": round(
             d2h_bytes / collect_s / 1e6, 3) if collect_s else None,
     }
-    # projected fps with ALL measured transport waits (loader uploads,
-    # dispatch, collect round trips) removed and replaced by the byte
-    # cost over a local PCIe-class link (8 GB/s both ways) -- the
-    # computed "this host is transport-bound at X; locally-fed this
-    # pipeline does Y" statement. Host decode/collector work kept as-is.
+    # projected fps on a local PCIe-class link (8 GB/s both ways): the
+    # pipeline's stages run CONCURRENTLY (decode thread: host work;
+    # link: staged uploads + packed readbacks; device: the fused step;
+    # main thread: collector update), so steady-state throughput is
+    # bound by the SLOWEST stage, not their sum. Queue backpressure and
+    # transfer stalls -- what actually fills the wall on a degraded
+    # tunnel/host -- are waits, not work, and disappear at the bound.
     pcie = 8e9
     link_s = (h2d_bytes + d2h_bytes) / pcie
-    non_transport_s = max(wall - transport_s, 1e-6)
+    device_s = n_frames / device_fps if device_fps else 0.0
+    collect_host_s = perf.get("collector_update_s", 0.0)
+    stage_times = (("host_decode", loader_host_s), ("link", link_s),
+                   ("device", device_s), ("collect_host", collect_host_s))
+    bound_name, bound_s = max(stage_times, key=lambda kv: kv[1])
     stages["projected_fps_local_pcie"] = round(
-        n_frames / (non_transport_s + link_s), 2)
+        n_frames / max(bound_s, 1e-6), 2)
+    stages["projected_bound_stage"] = bound_name
     # same projection against the measured quiet-tunnel probe bandwidth
     if h2d_gbps:
+        probe_link_s = h2d_bytes / (h2d_gbps * 1e9)
         stages["projected_fps_probe_link"] = round(
-            n_frames / (non_transport_s + h2d_bytes / (h2d_gbps * 1e9)), 2)
+            n_frames / max(loader_host_s, probe_link_s, device_s,
+                           collect_host_s, 1e-6), 2)
 
     print(json.dumps({
         "metric": "1080p_detect_fps_per_chip",

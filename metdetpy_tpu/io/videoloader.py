@@ -37,7 +37,7 @@ from ..native import \
     resize_bgr2gray_assemble_u8 as _resize_bgr2gray_assemble_u8
 from ..native import u8_max_inplace as _u8_max_inplace
 from .fileio import load_mask
-from .videowrapper import BaseVideoWrapper
+from .videowrapper import BaseVideoWrapper, NumpyVideoWrapper
 
 UP_EXPOSURE_BOUND = 0.5
 DEFAULT_EXPOSURE_FRAME = 1
@@ -487,6 +487,33 @@ _POOL_LOCK = threading.Lock()
 _POOL_CACHE: dict[tuple, list] = {}
 
 
+def _timeit(fn) -> float:
+    import time
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def _probe_host_resize_s(rh: int, rw: int, w: int, h: int) -> float:
+    """Seconds for one host resize of an (rh, rw) gray frame to (w, h).
+    Resize cost is data-independent, so a zeros frame is representative;
+    min over reps dodges scheduler jitter."""
+    frame = np.zeros((rh, rw), np.uint8)
+    return min(_timeit(lambda: cv2.resize(
+        frame, (w, h), interpolation=cv2.INTER_LINEAR))
+        for _ in range(3))
+
+
+def _probe_h2d_bps(rh: int, rw: int) -> float:
+    """Measured host->device staging bandwidth (bytes/s): a small warmup
+    pays first-transfer setup, then one multi-frame block is timed."""
+    import jax
+    jax.device_put(np.zeros((64, 64), np.uint8)).block_until_ready()
+    blk = np.zeros((4, rh, rw), np.uint8)
+    t = _timeit(lambda: jax.device_put(blk).block_until_ready())
+    return blk.nbytes / max(t, 1e-9)
+
+
 def _lease_block_pool(shape: tuple, n: int) -> list:
     """Check out a pre-faulted block-buffer pool for `shape`.
 
@@ -567,11 +594,50 @@ class BlockVideoLoader(VanillaVideoLoader):
         self.read_stopped = False
         self.status = True
         self.video.set_to(self.start_frame)
+        down2 = self._device_preproc_gate()
         target = (self._rawblockloop
-                  if self._device_preproc_gate() is not None
+                  if down2 is not None
+                  and self._transport_prefers_device_preproc(down2)
                   else self._blockloop)
         self.thread = threading.Thread(target=target, daemon=True)
         self.thread.start()
+
+    def _transport_prefers_device_preproc(self, down2: bool) -> bool:
+        """Choose preprocess placement from measured link + host speed.
+
+        On-device preprocess uploads RAW-size blocks -- 4x the bytes at
+        a 2:1 downscale -- trading host resize work for h2d bandwidth.
+        That wins on a local PCIe-class link and loses badly on a slow
+        transport, so the auto mode probes both sides once per start():
+        a staged ``device_put`` for link bandwidth and the actual cv2
+        resize for host throughput, then keeps the extra upload only if
+        the link absorbs it faster than the host can resize.
+        ``METDETPY_TPU_DEVICE_PREPROC=force`` skips the probe (always
+        device); ``=0`` is handled upstream by the gate.
+        """
+        import os
+        if not down2:
+            return True  # raw == runtime size: no extra bytes either way
+        if os.environ.get("METDETPY_TPU_DEVICE_PREPROC", "1") == "force":
+            return True
+        rw, rh = self.raw_size
+        w, h = self.runtime_size
+        t_host = _probe_host_resize_s(rh, rw, w, h)
+        bw = _probe_h2d_bps(rh, rw)
+        extra_s = (rw * rh - w * h) / bw  # per-frame extra upload time
+        prefer = extra_s < t_host
+        self.stage_stats["preproc_probe"] = {
+            "h2d_gbps": round(bw / 1e9, 3),
+            "host_resize_ms": round(t_host * 1e3, 3),
+            "extra_upload_ms": round(extra_s * 1e3, 3),
+            "device_preproc": prefer,
+        }
+        self.logger.debug(
+            f"preproc placement probe: link {bw / 1e9:.2f} GB/s, host "
+            f"resize {t_host * 1e3:.2f} ms/frame, extra upload "
+            f"{extra_s * 1e3:.2f} ms/frame -> "
+            f"{'device' if prefer else 'host'} preprocess")
+        return prefer
 
     def _device_preproc_gate(self) -> Optional[bool]:
         """Whether the whole preprocess can run ON DEVICE (cv2-bit-exact:
@@ -634,6 +700,28 @@ class BlockVideoLoader(VanillaVideoLoader):
                       "qput": 0.0})
         loop_t0 = _time.perf_counter()
         try:
+            src = getattr(self.video, "frames", None)
+            if (isinstance(self.video, NumpyVideoWrapper)
+                    and src is not None and src.ndim == 3
+                    and src.dtype == np.uint8 and src.flags.c_contiguous):
+                # zero-copy path for in-memory gray sources: blocks are
+                # VIEWS into the source array (device_put stages its own
+                # copy), so the host does no per-frame work at all --
+                # no decode, no merge memcpy, no pool
+                down2 = self._device_preproc_gate()
+                self._dev_preproc_fn = make_block_preprocess(
+                    bool(down2), color=False)
+                start = self.video.get_video_pos()
+                total = min(self.iterations, src.shape[0] - start)
+                bf = self.block_frames
+                for a in range(start, start + total, bf):
+                    if self.read_stopped:
+                        break
+                    t0 = _time.perf_counter()
+                    self._put_block(src[a:min(a + bf, start + total)])
+                    stats["qput"] += _time.perf_counter() - t0
+                self.video.set_to(start + total)
+                return
             first = self._read_raw_chunk(self.PREPROC_CHUNK)
             if not first:
                 return

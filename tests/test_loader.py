@@ -205,6 +205,46 @@ def test_device_preproc_gate_conditions(monkeypatch):
     assert gate(resize_option=[24, 16]) is None     # env kill-switch
 
 
+def test_transport_aware_preproc_placement(monkeypatch):
+    """Auto mode keeps the 4x raw-block upload only when the measured
+    link absorbs the extra bytes faster than the host can resize; a slow
+    tunnel falls back to host preprocess, and `force` skips the probe."""
+    from metdetpy_tpu.io import videoloader as vl
+    gray = np.zeros((8, 32, 48), np.uint8)
+
+    def loader(**kw):
+        return BlockVideoLoader(
+            NumpyVideoWrapper, gray, resize_option=[24, 16],
+            exp_option="real-time", merge_func="max", grayscale=True,
+            device_put=True, block_frames=8, **kw)
+
+    # fast link (10 GB/s), slow host resize (5 ms) -> device preprocess
+    monkeypatch.setattr(vl, "_probe_h2d_bps", lambda rh, rw: 10e9)
+    monkeypatch.setattr(vl, "_probe_host_resize_s",
+                        lambda rh, rw, w, h: 5e-3)
+    ld = loader()
+    assert ld._transport_prefers_device_preproc(True) is True
+    assert ld.stage_stats["preproc_probe"]["device_preproc"] is True
+
+    # slow tunnel (20 MB/s): extra (32*48-24*16)=1152 B -> 57.6 us... use
+    # a realistic 1080p-scale penalty by probing with raw-size numbers:
+    # extra bytes / bw must exceed host resize time to flip the choice
+    monkeypatch.setattr(vl, "_probe_h2d_bps", lambda rh, rw: 20e3)
+    ld2 = loader()
+    assert ld2._transport_prefers_device_preproc(True) is False
+    assert ld2.stage_stats["preproc_probe"]["device_preproc"] is False
+
+    # equal raw/runtime size: no extra bytes, no probe needed
+    probe_called = []
+    monkeypatch.setattr(vl, "_probe_h2d_bps",
+                        lambda rh, rw: probe_called.append(1) or 1e9)
+    assert loader()._transport_prefers_device_preproc(False) is True
+    # force: probe skipped even at 2:1
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_PREPROC", "force")
+    assert loader()._transport_prefers_device_preproc(True) is True
+    assert not probe_called
+
+
 def test_device_preproc_color_source_falls_back(monkeypatch):
     """A color SOURCE must fall back to the host-preprocess loop (raw
     color uploads would cost 12x the processed bytes) and still produce
@@ -261,7 +301,7 @@ def test_device_preprocess_e2e_equals_host_path(monkeypatch):
         cfg.collector.recheck_cfg.switch = False
         return detect_video(frames, None, cfg, work_mode="backend")
 
-    on = run("1")
+    on = run("force")   # pin device placement (auto probes the transport)
     off = run("0")
     assert [r.to_dict() for r in on.results] \
         == [r.to_dict() for r in off.results]
