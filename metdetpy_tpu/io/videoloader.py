@@ -450,6 +450,20 @@ class ThreadVideoLoader(VanillaVideoLoader):
             return None
         return self.merge_func(ret)
 
+    def _put_wait(self, item) -> bool:
+        """Put with indefinite backpressure while the loader is live: the
+        consumer can legitimately stall far past one PUT_TIMEOUT (device
+        compiles take minutes on a tunneled chip), and a decode thread
+        that dies on queue.Full silently truncates the stream. Returns
+        False once the loader is stopped."""
+        while True:
+            try:
+                self.queue.put(item, timeout=PUT_TIMEOUT)
+                return True
+            except queue.Full:
+                if self.read_stopped:
+                    return False
+
     def _videoloop(self):
         try:
             for i in range(self.iterations):
@@ -458,14 +472,14 @@ class ThreadVideoLoader(VanillaVideoLoader):
                         break
                 self.status, self.cur_frame = self.video.read()
                 if self.status and self.cur_frame is not None:
-                    self.queue.put(self.preprocess(self.cur_frame),
-                                   timeout=PUT_TIMEOUT)
+                    if not self._put_wait(self.preprocess(self.cur_frame)):
+                        break
                 else:
                     self.logger.warning(
                         f"Load frame failed at {self.start_frame + i}")
                     if not self.continue_on_err:
                         self.stop()
-                        self.queue.put(FAILED_FLAG, timeout=PUT_TIMEOUT)
+                        self._put_wait(FAILED_FLAG)
                         break
         finally:
             self.stop()

@@ -168,28 +168,87 @@ def max_stacker(video_loader, start_frame=None, end_frame=None, logger=None):
 DEVICE_MEDIAN_MIN_ELEMS = 64 << 20  # ~64M elements: device pays off
 
 
+_LINK_BPS_CACHE: Optional[tuple] = None
+
+
+def _probe_link_bps() -> tuple[float, float]:
+    """(h2d, d2h) staging bandwidths in bytes/s, probed once per process.
+
+    Only called from export-path decisions where a device round trip is
+    on the table anyway (the probe itself performs one d2h read, which on
+    the tunneled dev runtime switches dispatch to its synchronous mode --
+    never call this from the detection hot path)."""
+    global _LINK_BPS_CACHE
+    if _LINK_BPS_CACHE is None:
+        import time as _t
+
+        import jax
+        np.asarray(jax.device_put(np.zeros((64, 64), np.uint8)))  # warm
+        up = np.zeros((4, 1080, 1920), np.uint8)
+        t0 = _t.perf_counter()
+        dev = jax.device_put(up)
+        dev.block_until_ready()
+        t_up = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        down = np.asarray(dev[:2])
+        t_down = _t.perf_counter() - t0
+        _LINK_BPS_CACHE = (up.nbytes / max(t_up, 1e-9),
+                           down.nbytes / max(t_down, 1e-9))
+    return _LINK_BPS_CACHE
+
+
+def _device_median_wins(img_list: list[np.ndarray], n_elems: int) -> bool:
+    """Transport-aware placement for the big median sort: extrapolate the
+    host cost from a row-slice pilot and compare against the estimated
+    device round trip (upload the whole stack, read back one f32 frame).
+    The device sort itself is ~free next to either; on a local PCIe link
+    the transfer estimate wins by >10x, on a degraded tunnel the host
+    path does."""
+    import time as _t
+    try:
+        rows = max(1, img_list[0].shape[0] // 16)
+        pilot = [img[:rows] for img in img_list]
+        t0 = _t.perf_counter()
+        np.median(pilot, axis=0)
+        t_host = (_t.perf_counter() - t0) * (img_list[0].shape[0] / rows)
+        h2d, d2h = _probe_link_bps()
+        out_bytes = int(np.prod(img_list[0].shape)) * 4  # one f32 frame
+        t_dev = n_elems / h2d + out_bytes / d2h + 0.3  # dispatch slack
+        return t_dev < t_host
+    except Exception:
+        return False
+
+
 def stack_median(img_list: list[np.ndarray]) -> np.ndarray:
-    """Median over a frame stack; large stacks sort on the accelerator.
+    """Median over a frame stack; large stacks sort on the accelerator
+    when the link can carry them.
 
     The exact-median background estimate is the dominant cost of the
     MFNR export path (the reference reports mfnr-mix >5x slower than a
     plain max stack, docs/update-log.md:154) -- np.median sorts the
     whole [T, H, W, 3] stack on one host core. Above the size gate the
     sort runs on the device instead (identical mean-of-two-middles
-    semantics, f32 accumulation); small stacks and import failures fall
-    back to numpy.
+    semantics, f32 accumulation) -- but only if the measured link beats
+    the pilot-extrapolated host sort (``_device_median_wins``); a 400 MB
+    stack through a degraded transport loses to one host core.
+    ``METDETPY_TPU_DEVICE_MEDIAN`` = ``force``/``0`` overrides; small
+    stacks and import failures fall back to numpy.
     """
+    import os
     n_elems = len(img_list) * int(np.prod(img_list[0].shape))
     if n_elems >= DEVICE_MEDIAN_MIN_ELEMS:
-        try:
-            import jax
-            import jax.numpy as jnp
-            stack = jnp.asarray(np.stack(img_list))
-            out = np.asarray(jax.jit(lambda x: jnp.median(
-                x.astype(jnp.float32), axis=0))(stack))
-            return out.astype(np.float64)
-        except Exception:
-            pass
+        mode = os.environ.get("METDETPY_TPU_DEVICE_MEDIAN", "auto")
+        if mode != "0" and (mode == "force"
+                            or _device_median_wins(img_list, n_elems)):
+            try:
+                import jax
+                import jax.numpy as jnp
+                stack = jnp.asarray(np.stack(img_list))
+                out = np.asarray(jax.jit(lambda x: jnp.median(
+                    x.astype(jnp.float32), axis=0))(stack))
+                return out.astype(np.float64)
+            except Exception:
+                pass
     return np.median(img_list, axis=0)
 
 

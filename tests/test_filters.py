@@ -64,6 +64,7 @@ def test_stack_median_device_path_matches_numpy(rng, monkeypatch):
               for _ in range(12)]
     ref = np.median(frames, axis=0)
     monkeypatch.setattr(stk, "DEVICE_MEDIAN_MIN_ELEMS", 0)  # force device
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_MEDIAN", "force")  # skip probe
     got = stk.stack_median(frames)
     np.testing.assert_array_equal(ref, got)
     # odd count too

@@ -205,6 +205,30 @@ def test_device_preproc_gate_conditions(monkeypatch):
     assert gate(resize_option=[24, 16]) is None     # env kill-switch
 
 
+def test_threadloader_survives_stalled_consumer(monkeypatch):
+    """A consumer stalled past PUT_TIMEOUT (device compiles take minutes)
+    must NOT kill the decode thread / truncate the stream: the put
+    retries with backpressure until the loader stops."""
+    from metdetpy_tpu.io import videoloader as vl
+    monkeypatch.setattr(vl, "PUT_TIMEOUT", 0.05)
+    frames = np.arange(12, dtype=np.uint8).reshape(12, 1, 1) \
+        * np.ones((12, 8, 8), np.uint8)
+    ld = ThreadVideoLoader(NumpyVideoWrapper, frames, maxsize=1,
+                           exp_option="real-time", merge_func="max",
+                           grayscale=True)
+    ld.start()
+    got = []
+    import time as _t
+    for i in range(12):
+        if i == 2:
+            _t.sleep(0.5)  # 10x the patched PUT_TIMEOUT
+        frame = ld.pop()
+        assert frame is not None
+        got.append(int(frame[0, 0]))
+    ld.stop()
+    assert got == list(range(12))
+
+
 def test_transport_aware_preproc_placement(monkeypatch):
     """Auto mode keeps the 4x raw-block upload only when the measured
     link absorbs the extra bytes faster than the host can resize; a slow
