@@ -111,15 +111,45 @@ class AllImgContainer(BaseImgContainer):
 class MaxImgContainer(BaseImgContainer):
     def append(self, new_frame):
         if self.container is None:
-            self.container = new_frame
+            # copy: the loader may recycle new_frame's buffer after pop
+            self.container = new_frame.copy()
         else:
-            self.container = np.maximum(self.container, new_frame)
+            np.maximum(self.container, new_frame, out=self.container)
 
 
 class FastGaussianContainer(BaseImgContainer):
+    """Streaming sum / square-sum accumulation for FastGaussianParam.
+
+    Accumulates in-place into two preallocated arrays instead of building
+    a per-frame FastGaussianParam chain: the object-algebra path allocates
+    ~240 MB of temporaries per 1080p color frame (astype, square,
+    ones_like, three __add__ results) and dominated the MFNR export
+    (43 s of a 130 s profile on the 1-core host). The in-place path is
+    bit-equal: same uint16 sum / uint32 square-sum dtypes as the
+    reference's chained adds (MetLib/utils.py:418-513), n materialized
+    once at export."""
+
+    def __init__(self):
+        self._sum = None
+        self._sq = None
+        self._n = 0
+
     def append(self, new_frame):
-        fg = FastGaussianParam(new_frame.astype(np.uint16))
-        self.container = fg if self.container is None else self.container + fg
+        if self._sum is None:
+            self._sum = new_frame.astype(np.uint16)
+            self._sq = np.square(self._sum, dtype=np.uint32)
+        else:
+            np.add(self._sum, new_frame, out=self._sum)
+            sq = np.multiply(new_frame, new_frame, dtype=np.uint16)
+            np.add(self._sq, sq, out=self._sq)
+        self._n += 1
+
+    def export(self):
+        if self._sum is None:
+            return None
+        return FastGaussianParam(
+            self._sum, self._sq,
+            n=np.full(self._sum.shape, self._n, dtype=np.int16))
 
 
 def _batch_stacker(video_loader, container_cls_list, start_frame=None,
@@ -147,7 +177,7 @@ def _batch_stacker(video_loader, container_cls_list, start_frame=None,
         logger.error(repr(e))
     finally:
         video_loader.stop()
-    return [c.container for c in containers]
+    return [c.export() for c in containers]
 
 
 def all_stacker(video_loader, start_frame=None, end_frame=None, logger=None):
@@ -395,6 +425,21 @@ def connect_highlight_area(light_img: np.ndarray, light_diff_img: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _var_f32(fg: FastGaussianParam) -> np.ndarray:
+    """Sample variance of a FastGaussianParam in float32. The f64 `var`
+    property materializes ~250 MB of temporaries at 1080p; only the
+    scalar mean(sqrt(var)) is consumed here, and the f32 cancellation
+    error is <<1 gray level for u8 stacks. Clamped at 0: unlike exact
+    integer-in-f64 math, f32 cancellation can go slightly negative,
+    which would NaN the sqrt."""
+    n = np.asarray(fg.n, np.float32)
+    s = np.asarray(fg.sum_mu, np.float32)
+    out = fg.square_sum.astype(np.float32)  # always copies (u32 source)
+    out -= s * s / n
+    out /= n - fg.ddof
+    return np.maximum(out, 0, out=out)
+
+
 def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
                      start_frame=None, end_frame=None,
                      logger: Optional[BaseMetLog] = None
@@ -414,42 +459,51 @@ def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
                  f"{estimate_snr_smooth_residual(max_img):.2f} db.")
     assert mfnr.bg_algorithm in SUPPORT_BG_ALGO, \
         f"unsupported bg algo {mfnr.bg_algorithm}"
+    # The pixel math below runs in float32 on a single mask channel: the
+    # reference's float64 [H, W, 3] intermediates (repeat-to-3-channels
+    # mask, f64 GaussianBlur, ~10 full-frame f64 temporaries) were ~half
+    # the MFNR wall time on one host core; the blurred mask is identical
+    # per channel, and the output is u8, so f32 differs only within
+    # rounding noise (reference MetLib/stacker.py:296-403).
     if mfnr.bg_algorithm == "sigma-clipping":
         sc = single_sigma_clipping(img_stack, init_fg,
                                    sigma_high=mfnr.sigma_high,
                                    sigma_low=mfnr.sigma_low)
-        est_bg_mu = sc.mu
-        est_bg_var = float(np.mean(np.sqrt(sc.var)))
+        est_bg_mu = sc.mu.astype(np.float32)
+        est_bg_var = float(np.mean(np.sqrt(_var_f32(sc))))
     elif mfnr.bg_algorithm == "mean":
-        est_bg_mu = init_fg.mu
-        est_bg_var = float(np.mean(np.sqrt(init_fg.var)))
+        est_bg_mu = init_fg.mu.astype(np.float32)
+        est_bg_var = float(np.mean(np.sqrt(_var_f32(init_fg))))
     else:
         if mfnr.bg_algorithm == "median" or len(img_stack) <= 16:
-            est_bg_mu = stack_median(img_stack)
+            est_bg_mu = stack_median(img_stack).astype(np.float32)
         else:
-            est_bg_mu = median_of_medians(img_stack)
-        est_bg_var = float(np.mean(np.sqrt(init_fg.var)))
+            est_bg_mu = median_of_medians(img_stack).astype(np.float32)
+        est_bg_var = float(np.mean(np.sqrt(_var_f32(init_fg))))
 
     gumbel_mean = get_gumbel_mean(len(img_stack))
-    expect_max = est_bg_mu + est_bg_var * gumbel_mean * mfnr.bg_fix_factor
-    max_bias = max_img.astype(np.float64) - expect_max
+    bg_lift = np.float32(est_bg_var * gumbel_mean * mfnr.bg_fix_factor)
+    max_f = max_img.astype(np.float32)
+    max_bias = max_f - est_bg_mu
+    max_bias -= bg_lift
     pos_bias = max_bias[max_bias > 0]
-    highlight_avg = np.average(pos_bias) if pos_bias.size else 0.0
-    fg_mask = (max_bias > highlight_avg) | (max_img > 255 * hp)
-    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
-                         >= 1)[..., None], 3, axis=-1).astype(float)
-    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
-                               sigmaX=3)
+    highlight_avg = np.float32(np.average(pos_bias) if pos_bias.size
+                               else 0.0)
+    fg_any = np.any((max_bias > highlight_avg) | (max_f > 255 * hp),
+                    axis=-1).astype(np.float32)
+    fg_blur = cv2.GaussianBlur(fg_any, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)[..., None]
     if connect_cfg.switch:
         max_img = connect_highlight_area(
             max_img, max_bias, rep_times=1,
             ksize_multiplier=connect_cfg.ksize_multiplier,
             clip_threshold=connect_cfg.threshold, gamma=connect_cfg.gamma,
             logger=logger)
+        max_f = max_img.astype(np.float32)
     # brightness correction with highlight protection (factor -> 0 at 255)
-    fix_factor = 1 - ((max_img / 255 - hp).clip(0, 1) / (1 - hp))
-    fixed_max = np.clip(max_img.astype(np.float64)
-                        - est_bg_var * gumbel_mean * fix_factor, 0, 255)
+    fix_factor = 1 - ((max_f / 255 - hp).clip(0, 1) / (1 - hp))
+    fixed_max = np.clip(max_f - est_bg_var * gumbel_mean * fix_factor,
+                        0, 255)
     mixed = np.round(fixed_max * fg_blur
                      + est_bg_mu * (1 - fg_blur)).astype(np.uint8)
     logger.debug(f"MFNR-stacked SNR: "

@@ -1,0 +1,109 @@
+"""Stacker semantics pins: the in-place FastGaussianContainer and the
+f32 MFNR pixel-math must match the straightforward float64 / object-
+algebra formulations they replaced (reference MetLib/stacker.py:296-403,
+MetLib/utils.py:418-513)."""
+
+import cv2
+import numpy as np
+
+from metdetpy_tpu.io.videoloader import ThreadVideoLoader
+from metdetpy_tpu.io.videowrapper import NumpyVideoWrapper
+from metdetpy_tpu.ops import stack as stk
+from metdetpy_tpu.structs import ClipCfg
+from metdetpy_tpu.utils import relative2abs_path
+
+
+def _frames(rng, n=16, h=96, w=128):
+    frames = rng.integers(0, 60, (n, h, w, 3), np.uint8)
+    for t in range(4, min(12, n)):  # a moving streak (foreground)
+        p = (10 + 8 * (t - 4), 20 + 5 * (t - 4))
+        cv2.line(frames[t], p, (p[0] + 12, p[1] + 8), (250, 250, 250), 2)
+    return frames
+
+
+def test_fast_gaussian_container_bit_equals_object_chain(rng):
+    """In-place streaming accumulation == the per-frame FastGaussianParam
+    __add__ chain it replaced (same u16 sum / u32 square-sum dtypes)."""
+    frames = _frames(rng, n=9)
+    cont = stk.FastGaussianContainer()
+    chain = None
+    for f in frames:
+        cont.append(f)
+        fg = stk.FastGaussianParam(f.astype(np.uint16))
+        chain = fg if chain is None else chain + fg
+    got = cont.export()
+    assert got.sum_mu.dtype == chain.sum_mu.dtype
+    assert got.square_sum.dtype == chain.square_sum.dtype
+    np.testing.assert_array_equal(got.sum_mu, chain.sum_mu)
+    np.testing.assert_array_equal(got.square_sum, chain.square_sum)
+    np.testing.assert_array_equal(np.broadcast_to(got.n, chain.n.shape),
+                                  chain.n)
+    np.testing.assert_array_equal(got.mu, chain.mu)
+    np.testing.assert_array_equal(got.var, chain.var)
+
+
+def test_var_f32_matches_f64_property(rng):
+    frames = _frames(rng, n=12)
+    cont = stk.FastGaussianContainer()
+    for f in frames:
+        cont.append(f)
+    fg = cont.export()
+    v32, v64 = stk._var_f32(fg), fg.var
+    assert (v32 >= 0).all()
+    np.testing.assert_allclose(v32, v64, rtol=1e-4, atol=1e-2)
+
+
+def _mfnr_reference_f64(frames, denoise_cfg):
+    """The float64 / 3-channel-mask formulation of mfnr-mix (what the
+    production f32 single-channel path replaced), bg_algorithm=mean."""
+    hp = denoise_cfg.highlight_preserve
+    blur_ksize = denoise_cfg.blur_ksize
+    connect_cfg = denoise_cfg.connect_lines
+    mfnr = denoise_cfg.mfnr_param
+    max_img = frames.max(axis=0)
+    fg = None
+    for f in frames:
+        p = stk.FastGaussianParam(f.astype(np.uint16))
+        fg = p if fg is None else fg + p
+    est_bg_mu = fg.mu
+    est_bg_var = float(np.mean(np.sqrt(fg.var)))
+    gumbel_mean = stk.get_gumbel_mean(len(frames))
+    expect_max = est_bg_mu + est_bg_var * gumbel_mean * mfnr.bg_fix_factor
+    max_bias = max_img.astype(np.float64) - expect_max
+    pos = max_bias[max_bias > 0]
+    highlight_avg = np.average(pos) if pos.size else 0.0
+    fg_mask = (max_bias > highlight_avg) | (max_img > 255 * hp)
+    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
+                         >= 1)[..., None], 3, axis=-1).astype(float)
+    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)
+    if connect_cfg.switch:
+        max_img = stk.connect_highlight_area(
+            max_img, max_bias, rep_times=1,
+            ksize_multiplier=connect_cfg.ksize_multiplier,
+            clip_threshold=connect_cfg.threshold, gamma=connect_cfg.gamma)
+    fix_factor = 1 - ((max_img / 255 - hp).clip(0, 1) / (1 - hp))
+    fixed_max = np.clip(max_img.astype(np.float64)
+                        - est_bg_var * gumbel_mean * fix_factor, 0, 255)
+    return np.round(fixed_max * fg_blur
+                    + est_bg_mu * (1 - fg_blur)).astype(np.uint8)
+
+
+def test_mfnr_mix_matches_f64_reference(rng):
+    """Production mfnr-mix (f32, single-channel blurred mask) vs the f64
+    reference formulation: off only by float-rounding at .5 boundaries
+    (|diff| <= 1 gray level, and only on a tiny fraction of pixels)."""
+    frames = _frames(rng)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    assert dn.mfnr_param.bg_algorithm == "mean"
+    loader = ThreadVideoLoader(NumpyVideoWrapper, frames,
+                               exp_option="real-time", merge_func="max",
+                               grayscale=False)
+    got = stk.mfnr_mix_stacker(loader, dn)
+    want = _mfnr_reference_f64(frames, dn)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.01
