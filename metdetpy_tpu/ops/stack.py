@@ -321,14 +321,24 @@ def single_sigma_clipping(img_list: list[np.ndarray],
     mu, std = ref_fg_img.mu, np.sqrt(ref_fg_img.var)
     hi = np.round(mu + sigma_high * std).clip(0, 255).astype(np.uint8)
     lo = np.round(mu - sigma_low * std).clip(0, 255).astype(np.uint8)
-    clipped = None
+    if not img_list:
+        return ref_fg_img
+    # stream the rejected-sample statistics in place (the per-frame
+    # FastGaussianParam chain allocated ~240 MB of temporaries per
+    # 1080p frame); bit-equal: clipped accumulates the REJECTED samples
+    # and is subtracted from the full-stack stats
+    rej_sum = np.zeros(img_list[0].shape, np.uint16)
+    rej_sq = np.zeros(img_list[0].shape, np.uint32)
+    rej_n = np.zeros(img_list[0].shape, np.uint16)
     for img in img_list:
         reject = (img > hi) | (img < lo)
-        fgp = FastGaussianParam(img.astype(np.uint16))
-        fgp.mask(reject)
-        clipped = fgp if clipped is None else clipped + fgp
-    if clipped is None:
-        return ref_fg_img
+        rejected = np.multiply(img, reject, dtype=np.uint16)
+        np.add(rej_sum, rejected, out=rej_sum)
+        np.add(rej_sq, np.multiply(rejected, rejected, dtype=np.uint32),
+               out=rej_sq)
+        np.add(rej_n, reject, out=rej_n)
+    clipped = FastGaussianParam(rej_sum, rej_sq, n=rej_n,
+                                ddof=ref_fg_img.ddof)
     return ref_fg_img - clipped
 
 
@@ -521,14 +531,17 @@ def simple_denoise(max_img: np.ndarray, denoise_cfg: DenoiseOption,
                  f"{estimate_snr_smooth_residual(max_img):.2f} db.")
     est_bg = dust_and_scratches(max_img, radius=simple.ds_radius,
                                 threshold=simple.ds_threshold)
-    max_diff = max_img.astype(np.float64) - est_bg
+    # f32 single-channel mask math (see mfnr_mix_stacker): the blurred
+    # mask is identical per channel and the u8 output differs from the
+    # f64 formulation only within float rounding
+    max_f = max_img.astype(np.float32)
+    max_diff = max_f - est_bg
     pos = max_diff[max_diff > 0]
-    highlight_avg = np.average(pos) if pos.size else 0.0
-    fg_mask = (max_diff > highlight_avg) | (max_img > 255 * hp)
-    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
-                         >= 1)[..., None], 3, axis=-1).astype(float)
-    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
-                               sigmaX=3)
+    highlight_avg = np.float32(np.average(pos) if pos.size else 0.0)
+    fg_any = np.any((max_diff > highlight_avg) | (max_f > 255 * hp),
+                    axis=-1).astype(np.float32)
+    fg_blur = cv2.GaussianBlur(fg_any, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)[..., None]
     cp_max = np.asarray(max_img)
     if connect_cfg.switch:
         star_filter = circular_kernel(3)

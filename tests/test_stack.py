@@ -53,6 +53,75 @@ def test_var_f32_matches_f64_property(rng):
     np.testing.assert_allclose(v32, v64, rtol=1e-4, atol=1e-2)
 
 
+def test_sigma_clipping_bit_equals_object_chain(rng):
+    """Streamed single_sigma_clipping == the per-frame masked
+    FastGaussianParam chain it replaced."""
+    frames = _frames(rng, n=10)
+    cont = stk.FastGaussianContainer()
+    for f in frames:
+        cont.append(f)
+    full = cont.export()
+    got = stk.single_sigma_clipping(list(frames), full, 2.0, 2.0)
+
+    mu, std = full.mu, np.sqrt(full.var)
+    hi = np.round(mu + 2.0 * std).clip(0, 255).astype(np.uint8)
+    lo = np.round(mu - 2.0 * std).clip(0, 255).astype(np.uint8)
+    chain = None
+    for img in frames:
+        fgp = stk.FastGaussianParam(img.astype(np.uint16))
+        fgp.mask((img > hi) | (img < lo))
+        chain = fgp if chain is None else chain + fgp
+    want = full - chain
+    np.testing.assert_array_equal(got.sum_mu, want.sum_mu)
+    np.testing.assert_array_equal(got.square_sum, want.square_sum)
+    np.testing.assert_array_equal(got.n, want.n)
+
+
+def test_simple_denoise_matches_f64_reference(rng):
+    """Production simple_denoise (f32, single-channel mask) vs its f64
+    formulation: |diff| <= 1 gray level on a tiny fraction of pixels."""
+    frames = _frames(rng)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    max_img = frames.max(axis=0)
+    from metdetpy_tpu.log import BaseMetLog
+    got = stk.simple_denoise(max_img, dn, BaseMetLog())
+
+    hp, blur_ksize = dn.highlight_preserve, dn.blur_ksize
+    simple, connect_cfg = dn.simple_param, dn.connect_lines
+    est_bg = stk.dust_and_scratches(max_img, radius=simple.ds_radius,
+                                    threshold=simple.ds_threshold)
+    max_diff = max_img.astype(np.float64) - est_bg
+    pos = max_diff[max_diff > 0]
+    highlight_avg = np.average(pos) if pos.size else 0.0
+    fg_mask = (max_diff > highlight_avg) | (max_img > 255 * hp)
+    fg_mask = np.repeat((np.sum(fg_mask.astype(np.uint8), axis=-1)
+                         >= 1)[..., None], 3, axis=-1).astype(float)
+    fg_blur = cv2.GaussianBlur(fg_mask, ksize=(blur_ksize, blur_ksize),
+                               sigmaX=3)
+    cp_max = np.asarray(max_img)
+    if connect_cfg.switch:
+        star_filter = stk.circular_kernel(3)
+        filtered_diff = cv2.morphologyEx(max_diff, cv2.MORPH_OPEN,
+                                         star_filter)
+        cp_max = stk.connect_highlight_area(
+            cp_max, filtered_diff, rep_times=1,
+            ksize_multiplier=connect_cfg.ksize_multiplier,
+            clip_threshold=connect_cfg.threshold, gamma=connect_cfg.gamma)
+    bg = cv2.bilateralFilter(max_img, d=simple.bi_d,
+                             sigmaColor=simple.bi_sigma_color,
+                             sigmaSpace=simple.bi_sigma_space)
+    want = (fg_blur * cp_max + (1 - fg_blur) * bg).astype(np.uint8)
+    diff = got.astype(np.int16) - want.astype(np.int16)
+    assert np.abs(diff).max() <= 1
+    # the diffs are truncation artifacts of the round-free
+    # astype(uint8): the Gaussian kernel tail yields ~1e-9 weights
+    # instead of exact 0, dragging integer-valued pixels to k-1e-9
+    # which truncates to k-1 -- in whichever precision the epsilon
+    # lands. Either result is within the formulation's own noise.
+    assert (diff != 0).mean() < 0.10
+
+
 def _mfnr_reference_f64(frames, denoise_cfg):
     """The float64 / 3-channel-mask formulation of mfnr-mix (what the
     production f32 single-channel path replaced), bg_algorithm=mean."""
