@@ -57,6 +57,27 @@ def _forward_decode(variables, imgs, nc: int, apply):
     return yolov5.decode_predictions(heads, nc)
 
 
+@functools.partial(jax.jit, static_argnames=("nc", "apply", "k"))
+def _forward_decode_topk(variables, imgs, nc: int, apply, k: int,
+                         pos_thre):
+    """Forward + decode + device-side candidate compaction.
+
+    Returns only the top-k rows by objectness ([B, k, 5+nc]) plus the
+    per-image count of rows at or above pos_thre. The full decoded
+    tensor is [B, N, 5+nc] with N ≈ 6300 at 320x320 — fetching it to
+    host costs ~25x more device->host bandwidth than the compacted
+    top-k, and on a tunneled/synchronous link that readback dominates
+    the whole batched-inference pass. The count lets the host detect
+    (and warn about) the rare crop with more above-threshold
+    candidates than k."""
+    preds = yolov5.decode_predictions(apply(variables, imgs), nc)
+    obj = preds[..., 4]
+    _, idx = jax.lax.top_k(obj, k)
+    sel = jnp.take_along_axis(preds, idx[..., None], axis=1)
+    n_above = jnp.sum(obj >= pos_thre, axis=-1, dtype=jnp.int32)
+    return sel, n_above
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def _nms_batch(boxes, scores, score_thre, nms_thre, top_k: int = 128):
     """Vmapped greedy NMS over padded per-image candidate sets:
@@ -89,6 +110,8 @@ class YOLOModel:
         self.hw_tolerance = hw_tolerance
         self.h, self.w = input_hw
         self.c = 3
+        self.topk_readback = int(
+            os.environ.get("METDETPY_TPU_YOLO_TOPK", 256))
         self.nc = get_num_class() - 2  # without DROPPED/OTHERS
         self.hw_ratio = self.h / self.w
 
@@ -147,6 +170,29 @@ class YOLOModel:
         out = _forward_decode(self.variables, x, self.nc, self._apply)
         return np.asarray(out, dtype=np.float32)
 
+    def _batched_forward_topk(self, imgs: np.ndarray) -> np.ndarray:
+        """Like _batched_forward, but reads back only the top-k
+        candidates per image by objectness (device-compacted; see
+        _forward_decode_topk). Used by the multiscale tile loop, where
+        the host immediately discards sub-threshold rows anyway."""
+        x = jnp.asarray(imgs)
+        if x.shape[1] != self.h or x.shape[2] != self.w:
+            x = jax.image.resize(
+                x, (x.shape[0], self.h, self.w, 3), method="cubic")
+        n_anchors = 3 * sum((self.h // s) * (self.w // s)
+                            for s in (8, 16, 32))
+        k = min(self.topk_readback, n_anchors)
+        sel, n_above = _forward_decode_topk(
+            self.variables, x, self.nc, self._apply, k, self.pos_thre)
+        sel = np.asarray(sel, dtype=np.float32)
+        n_above = np.asarray(n_above)
+        if (n_above > k).any():
+            self.logger.warning(
+                f"top-k readback truncated {int((n_above > k).sum())} "
+                f"crop(s) with >{k} above-threshold candidates; raise "
+                f"METDETPY_TPU_YOLO_TOPK to keep them all.")
+        return sel
+
     def _postprocess_single(self, pred: np.ndarray, scale_wh: tuple[float,
                                                                     float]):
         """pred [N, 5+nc] xywh+obj+cls at model scale -> (boxes xyxy int,
@@ -181,7 +227,11 @@ class YOLOModel:
         back to image coordinates."""
         batch = np.stack([x[y0:y0 + hs, x0:x0 + ws]
                           for (y0, x0, hs, ws) in tiles])
-        preds = self._batched_forward(batch)
+        # with NMS on, sub-top-k rows are score-filtered anyway -- read
+        # back only the compacted candidates (see _forward_decode_topk);
+        # nms=False callers get every anchor row, unfiltered
+        preds = (self._batched_forward_topk(batch) if self.nms
+                 else self._batched_forward(batch))
         all_pos, all_cls = [], []
         hs, ws = tiles[0][2], tiles[0][3]
         scale = (ws / self.w, hs / self.h)
@@ -317,7 +367,7 @@ class YOLOModel:
             hs, ws = tiles[0][2], tiles[0][3]
             crops = np.stack([x[k, y0:y0 + hs, x0:x0 + ws]
                               for k in range(b) for (y0, x0, _, _) in tiles])
-            preds = self._batched_forward(crops)
+            preds = self._batched_forward_topk(crops)
             sw, sh = ws / self.w, hs / self.h
             idx = 0
             for k in range(b):

@@ -304,6 +304,35 @@ def test_forward_batch_matches_forward():
                                 [list(map(int, p)) for p in pos_b])
 
 
+def test_forward_batch_topk_readback_exact(tmp_path):
+    """The device-compacted top-k readback must give exactly the same
+    forward_batch results as reading back every anchor row: rows beyond
+    the top-k are sub-threshold and the host drops them anyway, and both
+    paths present candidates in descending-objectness order."""
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.models.yolo import YOLOModel
+    from metdetpy_tpu.synth import _draw_gaussian_dot
+    rng = np.random.default_rng(11)
+    img = np.full((180, 320), 12.0, np.float32)
+    x1, y1 = 60.0, 40.0
+    for k in range(160):
+        a = k / 159
+        _draw_gaussian_dot(img, x1 + 70 * a, y1 + 55 * a,
+                           200 * (1 - 0.3 * a), 1.5)
+    imgs = np.stack([np.repeat(np.clip(img, 0, 255)
+                               .astype(np.uint8)[..., None], 3, -1)] * 2)
+    m = YOLOModel(weight_path="weights/yolov5s_v5.flax.npz",
+                  dtype="float32", nms=True, warmup=False,
+                  multiscale_pred=1, multiscale_partition=2,
+                  logger=get_default_logger(), input_hw=(320, 320))
+    compact = m.forward_batch(imgs)
+    m.topk_readback = 10 ** 9  # clamped to every anchor row
+    full = m.forward_batch(imgs)
+    for (pos_c, cls_c), (pos_f, cls_f) in zip(compact, full):
+        np.testing.assert_array_equal(pos_c, pos_f)
+        np.testing.assert_allclose(cls_c, cls_f, rtol=1e-6)
+
+
 def test_forward_per_level_failure_recovery(tmp_path):
     """A failing pyramid level loses only that level: partial results from
     the other levels are still returned (the batched analog of the
