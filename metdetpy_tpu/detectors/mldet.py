@@ -23,7 +23,7 @@ from ..log import BaseMetLog
 from ..models import init_model
 from ..ops import windows
 from ..structs import Box, DLCfg
-from ..track.features import calc_roi_gradient, crop_with_box
+from ..track.features import calc_roi_gradient
 from ..utils import expand_cls_pred
 from .base import BaseDetector, FrameResult
 
@@ -48,7 +48,8 @@ class MLDetector(BaseDetector):
         self.n = max(int(window_sec * fps), 1)
         h, w = mask.shape[:2]
         c = mask.shape[2] if mask.ndim == 3 else 3
-        self._hist = jnp.zeros((self.n - 1, h, w, c), dtype=jnp.uint8)
+        self._hist_shape = (self.n - 1, h, w, c)
+        self._hist = jnp.zeros(self._hist_shape, dtype=jnp.uint8)
         self.model = init_model(cfg.model, logger=self.logger)
         self._pending: list[np.ndarray] = []
         self._last: Optional[FrameResult] = None
@@ -66,26 +67,66 @@ class MLDetector(BaseDetector):
             return np.zeros((0, 4), int), np.zeros((0, self.num_cls))
         return self._last
 
-    def process_block(self, block: np.ndarray) -> list[FrameResult]:
+    def reset_device_state(self) -> None:
+        """Device-fault recovery (api.py block loop): drop the possibly
+        poisoned device-side window history; it re-warms over the next
+        n-1 frames."""
+        self._hist = jnp.zeros(self._hist_shape, dtype=jnp.uint8)
+
+    def process_block_async(self, block) -> tuple:
+        """Dispatch one block's window-max + every YOLO pyramid level as
+        fused device programs (async; the history carry updates
+        immediately, so blocks can pipeline). ``block`` may be a host
+        array or an already-uploaded device array (loader device_put
+        mode). Raises NotImplementedError when the model can't run
+        device-resident (nms=False) — the caller falls back to
+        process_block."""
+        if not (getattr(self.model, "nms", False)
+                and hasattr(self.model, "dispatch_batch_device")):
+            raise NotImplementedError
         stacks_dev, self._hist = _window_max_color(self._hist,
                                                    jnp.asarray(block), self.n)
-        stacks = np.asarray(stacks_dev)
-        # one batched forward per pyramid level + one batched NMS for the
-        # whole block (vs 3 device round trips per frame)
-        batch_out = self.model.forward_batch(stacks)
+        return stacks_dev, self.model.dispatch_batch_device(stacks_dev)
+
+    def collect(self, handle: tuple) -> list[FrameResult]:
+        stacks_dev, model_handle = handle
+        return self._orient_results(
+            stacks_dev, self.model.collect_batch_device(model_handle))
+
+    def process_block(self, block: np.ndarray) -> list[FrameResult]:
+        try:
+            return self.collect(self.process_block_async(block))
+        except NotImplementedError:
+            pass
+        stacks_dev, self._hist = _window_max_color(self._hist,
+                                                   jnp.asarray(block), self.n)
+        # device-resident forwards: the [T, H, W, 3] stacks are never read
+        # back to host -- only compacted candidates cross the link (vs the
+        # reference's host-fetched stacks + one onnxruntime call per tile)
+        if hasattr(self.model, "forward_batch_device"):
+            batch_out = self.model.forward_batch_device(stacks_dev)
+        else:
+            batch_out = self.model.forward_batch(np.asarray(stacks_dev))
+        return self._orient_results(stacks_dev, batch_out)
+
+    def _orient_results(self, stacks_dev,
+                        batch_out: list) -> list[FrameResult]:
         results: list[FrameResult] = []
-        for stack, (pos, cls) in zip(stacks, batch_out):
+        for t, (pos, cls) in enumerate(batch_out):
             if len(pos) == 0:
                 results.append((np.zeros((0, 4), int),
                                 np.zeros((0, self.num_cls))))
                 continue
             # orient the box diagonal along the dominant gradient direction
-            # (reference MetLib/Detector.py:549-554)
+            # (reference MetLib/Detector.py:549-554); detections are rare,
+            # so fetch only each detection's ROI from the device stacks
+            # (same clamp semantics as crop_with_box: plain slicing)
             for i, coords in enumerate(pos):
-                roi = crop_with_box(stack, Box.from_list(list(coords)))
-                if roi.size == 0:
+                box = Box.from_list(list(coords))
+                roi_dev = stacks_dev[t, box.y1:box.y2, box.x1:box.x2]
+                if roi_dev.size == 0:
                     continue
-                drct = calc_roi_gradient(roi)
+                drct = calc_roi_gradient(np.asarray(roi_dev))
                 if not np.isnan(drct) and int(drct // (np.pi / 2)) % 2 == 1:
                     pos[i, [1, 3]] = pos[i, [3, 1]]
             self.result_pos = pos

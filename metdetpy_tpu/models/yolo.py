@@ -50,32 +50,81 @@ def _ensure_3ch(x: np.ndarray) -> np.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("nc", "apply"))
-def _forward_decode(variables, imgs, nc: int, apply):
-    """imgs: [B, H, W, 3] float32 in [0,1] -> decoded [B, N, 5+nc]."""
-    heads = apply(variables, imgs)
-    return yolov5.decode_predictions(heads, nc)
+def _unit_f32(x):
+    """Trace-time dtype dispatch: integer frames are normalized to [0,1]
+    float32 ON DEVICE, so host->device transfers stay 1 (uint8) or
+    2 (uint16) bytes/pixel instead of the 4 bytes/pixel a host-side
+    ``astype(float32)/maxv`` costs. Float inputs are assumed already
+    normalized and pass through unchanged."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    if x.dtype == jnp.uint16:
+        return x.astype(jnp.float32) / 65535.0
+    return x.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("nc", "apply", "k"))
-def _forward_decode_topk(variables, imgs, nc: int, apply, k: int,
-                         pos_thre):
-    """Forward + decode + device-side candidate compaction.
+def _resize_to(x, hw):
+    if hw is not None and (x.shape[1], x.shape[2]) != tuple(hw):
+        x = jax.image.resize(x, (x.shape[0], hw[0], hw[1], 3),
+                             method="cubic")
+    return x
 
-    Returns only the top-k rows by objectness ([B, k, 5+nc]) plus the
-    per-image count of rows at or above pos_thre. The full decoded
-    tensor is [B, N, 5+nc] with N ≈ 6300 at 320x320 — fetching it to
-    host costs ~25x more device->host bandwidth than the compacted
-    top-k, and on a tunneled/synchronous link that readback dominates
-    the whole batched-inference pass. The count lets the host detect
-    (and warn about) the rare crop with more above-threshold
-    candidates than k."""
-    preds = yolov5.decode_predictions(apply(variables, imgs), nc)
+
+def _topk_compact(preds, k: int, pos_thre):
+    """Device-side candidate compaction: keep only the top-k rows by
+    objectness ([B, k, 5+nc]) plus the per-image count of rows at or
+    above pos_thre. The full decoded tensor is [B, N, 5+nc] with
+    N ≈ 6300 at 320x320 — fetching it to host costs ~25x more
+    device->host bandwidth than the compacted top-k, and on a
+    tunneled/synchronous link that readback dominates the whole
+    batched-inference pass. The count lets the host detect (and warn
+    about) the rare crop with more above-threshold candidates than k."""
     obj = preds[..., 4]
     _, idx = jax.lax.top_k(obj, k)
     sel = jnp.take_along_axis(preds, idx[..., None], axis=1)
     n_above = jnp.sum(obj >= pos_thre, axis=-1, dtype=jnp.int32)
     return sel, n_above
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "apply", "hw"))
+def _forward_decode(variables, imgs, nc: int, apply, hw=None):
+    """imgs: [B, H, W, 3] uint8/uint16/float32 -> decoded [B, N, 5+nc]
+    (normalize + optional resize to hw + forward, all fused in one jit)."""
+    heads = apply(variables, _resize_to(_unit_f32(imgs), hw))
+    return yolov5.decode_predictions(heads, nc)
+
+
+@functools.partial(jax.jit, static_argnames=("nc", "apply", "k", "hw"))
+def _forward_decode_topk(variables, imgs, nc: int, apply, k: int,
+                         pos_thre, hw=None):
+    """Forward + decode + top-k compaction (see _topk_compact)."""
+    x = _resize_to(_unit_f32(imgs), hw)
+    preds = yolov5.decode_predictions(apply(variables, x), nc)
+    return _topk_compact(preds, k, pos_thre)
+
+
+@functools.partial(jax.jit, static_argnames=("tiles", "hw", "nc", "apply",
+                                             "k", "transpose"))
+def _tiles_forward_topk(variables, imgs, tiles, hw, nc: int, apply, k: int,
+                        pos_thre, transpose: bool = False):
+    """Device-resident pyramid level: imgs [B, H, W, 3] (u8/u16/f32,
+    already in HBM) -> compacted candidates for every (image, tile) pair.
+
+    The tile crops are static slices fused into the same XLA program as
+    normalization, the cubic resize, the YOLO forward and the top-k
+    compaction — nothing but the [B*T, k, 5+nc] candidates ever leaves
+    the device. Crop order is image-major (image 0 tiles, image 1
+    tiles, ...) to match the host path's np.stack loop."""
+    x = _unit_f32(imgs)
+    if transpose:
+        x = jnp.transpose(x, (0, 2, 1, 3))
+    crops = jnp.stack([x[:, y0:y0 + hs, x0:x0 + ws]
+                       for (y0, x0, hs, ws) in tiles], axis=1)
+    bt = crops.shape[0] * crops.shape[1]
+    crops = _resize_to(
+        crops.reshape(bt, crops.shape[2], crops.shape[3], 3), hw)
+    preds = yolov5.decode_predictions(apply(variables, crops), nc)
+    return _topk_compact(preds, k, pos_thre)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
@@ -161,37 +210,47 @@ class YOLOModel:
     # ------------------------------------------------------------------
 
     def _batched_forward(self, imgs: np.ndarray) -> np.ndarray:
-        """imgs: [B, h, w, 3] float32 in [0,1]; resized on device to the
-        model resolution; returns [B, N, 5+nc] float32 numpy."""
-        x = jnp.asarray(imgs)
-        if x.shape[1] != self.h or x.shape[2] != self.w:
-            x = jax.image.resize(
-                x, (x.shape[0], self.h, self.w, 3), method="cubic")
-        out = _forward_decode(self.variables, x, self.nc, self._apply)
+        """imgs: [B, h, w, 3] uint8/uint16 (or float32 in [0,1]);
+        normalized + resized on device to the model resolution; returns
+        [B, N, 5+nc] float32 numpy."""
+        out = _forward_decode(self.variables, jnp.asarray(imgs), self.nc,
+                              self._apply, hw=(self.h, self.w))
         return np.asarray(out, dtype=np.float32)
 
-    def _batched_forward_topk(self, imgs: np.ndarray) -> np.ndarray:
-        """Like _batched_forward, but reads back only the top-k
-        candidates per image by objectness (device-compacted; see
-        _forward_decode_topk). Used by the multiscale tile loop, where
-        the host immediately discards sub-threshold rows anyway."""
-        x = jnp.asarray(imgs)
-        if x.shape[1] != self.h or x.shape[2] != self.w:
-            x = jax.image.resize(
-                x, (x.shape[0], self.h, self.w, 3), method="cubic")
+    def _k_budget(self) -> int:
         n_anchors = 3 * sum((self.h // s) * (self.w // s)
                             for s in (8, 16, 32))
-        k = min(self.topk_readback, n_anchors)
-        sel, n_above = _forward_decode_topk(
-            self.variables, x, self.nc, self._apply, k, self.pos_thre)
-        sel = np.asarray(sel, dtype=np.float32)
+        return min(self.topk_readback, n_anchors)
+
+    def _warn_truncated(self, n_above, k: int) -> None:
         n_above = np.asarray(n_above)
         if (n_above > k).any():
             self.logger.warning(
                 f"top-k readback truncated {int((n_above > k).sum())} "
                 f"crop(s) with >{k} above-threshold candidates; raise "
                 f"METDETPY_TPU_YOLO_TOPK to keep them all.")
-        return sel
+
+    def _batched_forward_topk(self, imgs: np.ndarray) -> np.ndarray:
+        """Like _batched_forward, but reads back only the top-k
+        candidates per image by objectness (device-compacted; see
+        _topk_compact). Used by the multiscale tile loop, where the
+        host immediately discards sub-threshold rows anyway."""
+        k = self._k_budget()
+        sel, n_above = _forward_decode_topk(
+            self.variables, jnp.asarray(imgs), self.nc, self._apply, k,
+            self.pos_thre, hw=(self.h, self.w))
+        self._warn_truncated(n_above, k)
+        return np.asarray(sel, dtype=np.float32)
+
+    def _tiles_topk(self, imgs_dev, tiles, transpose: bool) -> np.ndarray:
+        """Device-resident tiled forward over a [B, H, W, 3] jax array
+        (see _tiles_forward_topk); returns [B*T, k, 5+nc] numpy."""
+        k = self._k_budget()
+        sel, n_above = _tiles_forward_topk(
+            self.variables, imgs_dev, tuple(tiles), (self.h, self.w),
+            self.nc, self._apply, k, self.pos_thre, transpose)
+        self._warn_truncated(n_above, k)
+        return np.asarray(sel, dtype=np.float32)
 
     def _postprocess_single(self, pred: np.ndarray, scale_wh: tuple[float,
                                                                     float]):
@@ -284,8 +343,8 @@ class YOLOModel:
         x = _ensure_3ch(x)
         h, w, c = x.shape
         assert c == self.c, "channel count must match"
-        maxv = 65535.0 if x.dtype == np.uint16 else 255.0
-        x = x.astype(np.float32) / maxv
+        if x.dtype not in (np.uint8, np.uint16):
+            x = x.astype(np.float32) / 255.0  # u8/u16 normalize on device
 
         if self.multiscale_pred == 0:
             pred = self._batched_forward(x[None])[0]
@@ -346,10 +405,10 @@ class YOLOModel:
         if imgs.ndim == 3 or imgs.shape[-1] != self.c:
             imgs = np.stack([_ensure_3ch(im) for im in imgs])
         b, h, w, _ = imgs.shape
-        maxv = 65535.0 if imgs.dtype == np.uint16 else 255.0
         if b == 0:
             return []
-        x = imgs.astype(np.float32) / maxv
+        x = (imgs if imgs.dtype in (np.uint8, np.uint16)
+             else imgs.astype(np.float32) / 255.0)  # ints normalize on device
         if self.multiscale_pred == 0 or not self.nms:
             # nms=False keeps forward()'s exact (unfiltered) semantics
             preds = self._batched_forward(x)
@@ -368,27 +427,132 @@ class YOLOModel:
             crops = np.stack([x[k, y0:y0 + hs, x0:x0 + ws]
                               for k in range(b) for (y0, x0, _, _) in tiles])
             preds = self._batched_forward_topk(crops)
-            sw, sh = ws / self.w, hs / self.h
-            idx = 0
-            for k in range(b):
-                for (y0, x0, _, _) in tiles:
-                    p = preds[idx]
-                    idx += 1
-                    m = p[:, 4] >= self.pos_thre
-                    if not m.any():
-                        continue
-                    p = p[m]
-                    boxes = p[:, :4].copy()
-                    boxes[:, 0] -= boxes[:, 2] / 2
-                    boxes[:, 1] -= boxes[:, 3] / 2
-                    boxes[:, 2] += boxes[:, 0]
-                    boxes[:, 3] += boxes[:, 1]
-                    boxes[:, [0, 2]] = boxes[:, [0, 2]] * sw + x0
-                    boxes[:, [1, 3]] = boxes[:, [1, 3]] * sh + y0
-                    per_pos[k].append(boxes.astype(int))
-                    per_cls[k].append(np.sqrt(
-                        np.einsum("ab,a->ab", p[:, 5:], p[:, 4])))
+            self._accum_level(preds, tiles, b, per_pos, per_cls)
+        return self._finalize_batch(per_pos, per_cls, b, transpose_flag)
 
+    def forward_batch_device(self, imgs_dev) -> list:
+        """forward_batch for a [B, H, W, 3] uint8/uint16 jax array already
+        resident in HBM (e.g. MLDetector's window-max stacks): tiling,
+        normalization, resize, forward and candidate compaction all run
+        on device and only the compacted top-k rows (plus the vmapped NMS
+        verdicts) ever cross the link — the stacks are never read back.
+        Results match ``forward_batch(np.asarray(imgs_dev))`` exactly.
+        (The reference fetches every stack to host and runs one
+        onnxruntime call per tile, MetLib/Detector.py:522-573 +
+        model.py:341-383.)"""
+        if not self.nms:
+            # full-anchor-row semantics require every row on host anyway
+            return self.forward_batch(np.asarray(imgs_dev))
+        if imgs_dev.shape[0] == 0:
+            return []
+        return self.collect_batch_device(self.dispatch_batch_device(
+            imgs_dev))
+
+    def dispatch_batch_device(self, imgs_dev):
+        """Dispatch-only half of forward_batch_device: enqueues every
+        pyramid level's fused device program (jax dispatch is async) and
+        returns an opaque handle of device arrays. Finish with
+        collect_batch_device — the pair lets a block pipeline overlap
+        block N's host postprocess with block N+1's device compute."""
+        if not self.nms:
+            raise NotImplementedError(
+                "device-resident dispatch requires nms=True")
+        b, h, w, c = imgs_dev.shape
+        assert c == self.c, "channel count must match"
+        k = self._k_budget()
+        single_scale = self.multiscale_pred == 0
+        if single_scale:
+            transpose_flag, levels = False, [((0, 0, h, w),)]
+        else:
+            transpose_flag, levels = self._plan_tiles(h, w)
+        outs = []
+        for tiles in levels:
+            sel, n_above = _tiles_forward_topk(
+                self.variables, imgs_dev, tuple(tiles), (self.h, self.w),
+                self.nc, self._apply, k, self.pos_thre, transpose_flag)
+            outs.append((tiles, sel, n_above))
+        return (single_scale, b, h, w, transpose_flag, k, outs)
+
+    def collect_batch_device(self, handle) -> list:
+        """Blocking half of dispatch_batch_device: fetch the compacted
+        candidates (one small transfer per level) and run the host-side
+        accumulation + the single vmapped NMS."""
+        single_scale, b, h, w, transpose_flag, k, outs = handle
+        if single_scale:
+            (_, sel, n_above), = outs
+            self._warn_truncated(n_above, k)
+            return self._postprocess_batch_nms(
+                np.asarray(sel, dtype=np.float32),
+                (w / self.w, h / self.h))
+        per_pos = [[] for _ in range(b)]
+        per_cls = [[] for _ in range(b)]
+        for tiles, sel, n_above in outs:
+            self._warn_truncated(n_above, k)
+            self._accum_level(np.asarray(sel, dtype=np.float32), tiles, b,
+                              per_pos, per_cls)
+        return self._finalize_batch(per_pos, per_cls, b, transpose_flag)
+
+    def _postprocess_batch_nms(self, preds: np.ndarray, scale_wh):
+        """Batched _postprocess_single (nms=True): one vmapped device NMS
+        round trip for the whole block instead of one nms_xyxy dispatch
+        per image. preds: [B, N, 5+nc] xywh+obj+cls at model scale."""
+        b = preds.shape[0]
+        boxes = preds[:, :, :4].copy()
+        boxes[:, :, 0] -= boxes[:, :, 2] / 2
+        boxes[:, :, 1] -= boxes[:, :, 3] / 2
+        boxes[:, :, 2] += boxes[:, :, 0]
+        boxes[:, :, 3] += boxes[:, :, 1]
+        order, keep = _nms_batch(jnp.asarray(boxes),
+                                 jnp.asarray(preds[:, :, 4]),
+                                 self.pos_thre, self.nms_thre)
+        order = np.asarray(order)
+        keep = np.asarray(keep)
+        sw, sh = scale_wh
+        out = []
+        for k in range(b):
+            idx = order[k][keep[k]]
+            bx, p = boxes[k][idx], preds[k][idx]
+            bx[:, [0, 2]] *= sw
+            bx[:, [1, 3]] *= sh
+            result_pos = bx.astype(int)
+            result_cls = np.sqrt(
+                np.einsum("ab,a->ab", p[:, 5:], p[:, 4]))
+            ok = ((result_pos[:, 2] - result_pos[:, 0] >= 1)
+                  & (result_pos[:, 3] - result_pos[:, 1] >= 1))
+            out.append((result_pos[ok], result_cls[ok]))
+        return out
+
+    def _accum_level(self, preds: np.ndarray, tiles, b: int, per_pos,
+                     per_cls) -> None:
+        """Host-side candidate accumulation for one pyramid level (shared
+        by the host-crop and device-resident paths; preds is image-major
+        [b*T, k, 5+nc] at model scale)."""
+        hs, ws = tiles[0][2], tiles[0][3]
+        sw, sh = ws / self.w, hs / self.h
+        idx = 0
+        for k in range(b):
+            for (y0, x0, _, _) in tiles:
+                p = preds[idx]
+                idx += 1
+                m = p[:, 4] >= self.pos_thre
+                if not m.any():
+                    continue
+                p = p[m]
+                boxes = p[:, :4].copy()
+                boxes[:, 0] -= boxes[:, 2] / 2
+                boxes[:, 1] -= boxes[:, 3] / 2
+                boxes[:, 2] += boxes[:, 0]
+                boxes[:, 3] += boxes[:, 1]
+                boxes[:, [0, 2]] = boxes[:, [0, 2]] * sw + x0
+                boxes[:, [1, 3]] = boxes[:, [1, 3]] * sh + y0
+                per_pos[k].append(boxes.astype(int))
+                per_cls[k].append(np.sqrt(
+                    np.einsum("ab,a->ab", p[:, 5:], p[:, 4])))
+
+    def _finalize_batch(self, per_pos, per_cls, b: int,
+                        transpose_flag: bool) -> list:
+        """Cap candidates, run the global multiscale NMS (one vmapped
+        device call) and unpack per-image (boxes, cls) results."""
         cap = self.MAX_BATCH_CANDIDATES
         cand_pos = np.zeros((b, cap, 4), np.float32)
         cand_scr = np.full((b, cap), -1.0, np.float32)

@@ -333,6 +333,154 @@ def test_forward_batch_topk_readback_exact(tmp_path):
         np.testing.assert_allclose(cls_c, cls_f, rtol=1e-6)
 
 
+def _streak_test_imgs(portrait: bool = False) -> np.ndarray:
+    from metdetpy_tpu.synth import _draw_gaussian_dot
+    img = np.full((180, 320), 12.0, np.float32)
+    x1, y1 = 60.0, 40.0
+    for k in range(160):
+        a = k / 159
+        _draw_gaussian_dot(img, x1 + 70 * a, y1 + 55 * a,
+                           200 * (1 - 0.3 * a), 1.5)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if portrait:
+        img = img.T
+    return np.stack([np.repeat(img[..., None], 3, -1)] * 2)
+
+
+def test_forward_batch_device_matches_host():
+    """forward_batch_device (stacks stay in HBM; tiling/normalize/resize/
+    forward/top-k fused on device) must reproduce the host-crop
+    forward_batch exactly: multiscale tiled path, transpose path, and the
+    single-scale (multiscale_pred=0) batched-NMS path."""
+    import jax.numpy as jnp
+
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.models.yolo import YOLOModel
+    m = YOLOModel(weight_path="weights/yolov5s_v5.flax.npz",
+                  dtype="float32", nms=True, warmup=False,
+                  multiscale_pred=1, multiscale_partition=2,
+                  logger=get_default_logger(), input_hw=(320, 320))
+
+    def check(model, imgs):
+        host = model.forward_batch(imgs)
+        dev = model.forward_batch_device(jnp.asarray(imgs))
+        assert len(host) == len(dev)
+        for (pos_h, cls_h), (pos_d, cls_d) in zip(host, dev):
+            np.testing.assert_array_equal(pos_h, pos_d)
+            np.testing.assert_allclose(cls_h, cls_d, rtol=1e-6)
+
+    imgs = _streak_test_imgs()
+    check(m, imgs)                              # landscape: w_rep tiling
+    check(m, _streak_test_imgs(portrait=True))  # h_rep tiling
+    m.multiscale_pred = 0               # single-scale batched-NMS path
+    check(m, imgs)
+    # transpose_flag needs a non-square model ratio: portrait 320x180
+    # imgs vs hw (320,160) -> (1.78-1)*(2-1) > 0 -> transposed tiling
+    m2 = YOLOModel(weight_path="weights/yolov5s_v5.flax.npz",
+                   dtype="float32", nms=True, warmup=False,
+                   multiscale_pred=1, multiscale_partition=2,
+                   logger=get_default_logger(), input_hw=(320, 160))
+    assert m2._plan_tiles(320, 180)[0] is True
+    check(m2, _streak_test_imgs(portrait=True))
+
+
+def test_mldetector_device_stacks_match_host():
+    """MLDetector.process_block on device-resident stacks (no full-stack
+    readback) must equal the host-fetched forward_batch path, including
+    the ROI-gradient box-diagonal orientation."""
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.detectors.mldet import MLDetector
+    from metdetpy_tpu.structs import DLCfg
+
+    class _HostOnly:
+        """Proxy hiding forward_batch_device so MLDetector falls back to
+        the host-fetch path."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            if name == "forward_batch_device":
+                raise AttributeError(name)
+            return getattr(self._inner, name)
+
+    imgs = _streak_test_imgs()  # [2, 180, 320, 3] u8
+    block = np.stack([imgs[0] // 4, imgs[0], imgs[0] // 2, imgs[1]])
+    cfg = DLCfg.from_dict({"model": {
+        "name": "YOLOModel", "weight_path": "weights/yolov5s_v5.flax.npz",
+        "dtype": "float32", "nms": True, "warmup": False, "pos_thre": 0.25,
+        "nms_thre": 0.45, "multiscale_pred": 1, "multiscale_partition": 2,
+        "input_hw": "320x320"}})
+    mask = np.ones((180, 320, 3), np.uint8)
+    det = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                     cfg=cfg, logger=get_default_logger())
+    det_host = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                          cfg=cfg, logger=get_default_logger())
+    det_host.model = _HostOnly(det.model)  # same weights, host path
+    out_dev = det.process_block(block.copy())
+    out_host = det_host.process_block(block.copy())
+    assert any(len(pos) for pos, _ in out_dev)  # the streak is detected
+    for (pos_d, cls_d), (pos_h, cls_h) in zip(out_dev, out_host):
+        np.testing.assert_array_equal(pos_d, pos_h)
+        np.testing.assert_allclose(cls_d, cls_h, rtol=1e-6)
+
+
+def test_mldetector_async_pipeline_matches_sync():
+    """process_block_async/collect must pipeline: dispatching two blocks
+    back-to-back BEFORE collecting either must equal the synchronous
+    per-block path (the window-history carry advances at dispatch time,
+    so in-flight blocks never see stale state)."""
+    from metdetpy_tpu.detectors.mldet import MLDetector
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.structs import DLCfg
+
+    imgs = _streak_test_imgs()
+    block1 = np.stack([imgs[0] // 4, imgs[0], imgs[0] // 2, imgs[1]])
+    block2 = np.stack([imgs[1], imgs[0] // 3, imgs[1] // 2, imgs[0]])
+    cfg = DLCfg.from_dict({"model": {
+        "name": "YOLOModel", "weight_path": "weights/yolov5s_v5.flax.npz",
+        "dtype": "float32", "nms": True, "warmup": False, "pos_thre": 0.25,
+        "nms_thre": 0.45, "multiscale_pred": 1, "multiscale_partition": 2,
+        "input_hw": "320x320"}})
+    mask = np.ones((180, 320, 3), np.uint8)
+    det_async = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                           cfg=cfg, logger=get_default_logger())
+    det_sync = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                          cfg=cfg, logger=get_default_logger())
+    det_sync.model = det_async.model  # share weights
+    h1 = det_async.process_block_async(block1)
+    h2 = det_async.process_block_async(block2)  # pipelined dispatch
+    out_async = det_async.collect(h1) + det_async.collect(h2)
+    out_sync = (det_sync.process_block(block1)
+                + det_sync.process_block(block2))
+    assert any(len(pos) for pos, _ in out_async)
+    for (pos_a, cls_a), (pos_s, cls_s) in zip(out_async, out_sync):
+        np.testing.assert_array_equal(pos_a, pos_s)
+        np.testing.assert_allclose(cls_a, cls_s, rtol=1e-6)
+
+
+def test_mldetector_reset_device_state():
+    """Device-fault recovery drops the window-history carry (api.py's
+    block loop calls this after a transient device failure)."""
+    import jax.numpy as jnp
+
+    from metdetpy_tpu.detectors.mldet import MLDetector
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.structs import DLCfg
+    cfg = DLCfg.from_dict({"model": {
+        "name": "YOLOModel", "weight_path": "weights/yolov5s_v5.flax.npz",
+        "dtype": "float32", "nms": True, "warmup": False, "pos_thre": 0.25,
+        "nms_thre": 0.45, "multiscale_pred": 0, "multiscale_partition": 2,
+        "input_hw": "96x96"}})
+    det = MLDetector(window_sec=1.0, fps=2.0,
+                     mask=np.ones((48, 96, 3), np.uint8), num_cls=9,
+                     cfg=cfg, logger=get_default_logger())
+    det._hist = jnp.ones_like(det._hist)
+    det.reset_device_state()
+    assert det._hist.shape == (1, 48, 96, 3)
+    assert not np.asarray(det._hist).any()
+
+
 def test_forward_per_level_failure_recovery(tmp_path):
     """A failing pyramid level loses only that level: partial results from
     the other levels are still returned (the batched analog of the
