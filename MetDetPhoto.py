@@ -21,6 +21,7 @@ from metdetpy_tpu.io.imgloader import MultiThreadImgLoader
 from metdetpy_tpu.io.videoloader import ThreadVideoLoader
 from metdetpy_tpu.io.videowrapper import OpenCVVideoWrapper
 from metdetpy_tpu.log import get_default_logger, set_default_logger
+from metdetpy_tpu.models.pipeline import BatchPipeline
 from metdetpy_tpu.models.yolo import YOLOModel
 from metdetpy_tpu.structs import MDRF, MockVideoObject, SingleImgRecord
 from metdetpy_tpu.utils import (VERSION, get_id2name, parse_resize_param,
@@ -145,24 +146,23 @@ def main() -> None:
                                            flag=args.visu)
             img_loader = MultiThreadImgLoader(img_list, logger=logger)
             video = MockVideoObject(image_folder=input_path)
-            # same-shape images are batched into one device forward
-            # (forward_batch); visu mode stays per-image for interactivity
+            # same-shape images are batched into one device forward and
+            # pipelined (dispatch batch N+1 before collecting batch N, so
+            # upload + device compute overlap the host postprocess); visu
+            # mode stays per-image + synchronous for interactivity
             batch_cap = 1 if args.visu else PHOTO_BATCH_SIZE
+            pipeline = BatchPipeline(model,
+                                     inflight=0 if args.visu else 1)
             pending: list[tuple[str, np.ndarray]] = []
 
-            def flush_pending() -> bool:
-                if not pending:
-                    return True
-                outs = model.forward_batch(
-                    np.stack([im for _, im in pending]))
-                for (img_path, img), (boxes, preds) in zip(pending, outs):
+            def process_done(done) -> bool:
+                for (img_path, img), (boxes, preds) in done:
                     if args.visu:
                         visual_manager.display_a_frame(
                             img, construct_visu_info(
                                 boxes, preds, watermark_text=img_path))
                         if visual_manager.manual_stop:
                             logger.info("Manual interrupt signal detected.")
-                            pending.clear()
                             return False
                     if len(boxes) > 0:
                         results.append(_record_from(
@@ -172,8 +172,15 @@ def main() -> None:
                         logger.meteor(str(results[-1]))
                     else:
                         logger.debug(f"Image {img_path}: no result.")
-                pending.clear()
                 return True
+
+            def flush_pending() -> bool:
+                if not pending:
+                    return True
+                done = pipeline.submit(
+                    list(pending), np.stack([im for _, im in pending]))
+                pending.clear()
+                return process_done(done)
 
             try:
                 img_loader.start()
@@ -193,7 +200,10 @@ def main() -> None:
                     if len(pending) >= batch_cap:
                         if not flush_pending():
                             break
-                flush_pending()
+                if flush_pending():
+                    # manual stop only happens in visu mode (inflight=0,
+                    # nothing queued); otherwise collect the tail batches
+                    process_done(pipeline.drain())
             except (Exception, KeyboardInterrupt) as e:
                 logger.error(f"detection terminated: {e!r}")
             finally:
@@ -235,14 +245,12 @@ def main() -> None:
                                                resolution=visu_resolution,
                                                flag=args.visu)
                 tl_cap = 1 if args.visu else PHOTO_BATCH_SIZE
+                tl_pipeline = BatchPipeline(model,
+                                            inflight=0 if args.visu else 1)
                 tl_pending: list[tuple[int, np.ndarray]] = []
 
-                def flush_timelapse() -> bool:
-                    if not tl_pending:
-                        return True
-                    outs = model.forward_batch(
-                        np.stack([im for _, im in tl_pending]))
-                    for (i, img), (boxes, probs) in zip(tl_pending, outs):
+                def process_tl_done(done) -> bool:
+                    for (i, img), (boxes, probs) in done:
                         if args.visu:
                             visual_manager.display_a_frame(
                                 img, construct_visu_info(
@@ -251,7 +259,6 @@ def main() -> None:
                             if visual_manager.manual_stop:
                                 logger.info(
                                     "Manual interrupt signal detected.")
-                                tl_pending.clear()
                                 return False
                         preds = [id2name[int(np.argmax(p))] for p in probs]
                         if args.exclude_noise:
@@ -263,8 +270,16 @@ def main() -> None:
                             results.append(_record_from(boxes, probs,
                                                         id2name, num_frame=i))
                             logger.meteor(str(results[-1]))
-                    tl_pending.clear()
                     return True
+
+                def flush_timelapse() -> bool:
+                    if not tl_pending:
+                        return True
+                    done = tl_pipeline.submit(
+                        list(tl_pending),
+                        np.stack([im for _, im in tl_pending]))
+                    tl_pending.clear()
+                    return process_tl_done(done)
 
                 for i in range(video.iterations):
                     img = video.pop()
@@ -274,7 +289,8 @@ def main() -> None:
                     if len(tl_pending) >= tl_cap:
                         if not flush_timelapse():
                             break
-                flush_timelapse()
+                if flush_timelapse():
+                    process_tl_done(tl_pipeline.drain())
             else:
                 raise NotImplementedError(
                     f"Unsupported file suffix \"{suffix}\"; supported: "

@@ -1,0 +1,71 @@
+"""Dispatch/collect pipelining for batched photo inference.
+
+On a tunneled/synchronous TPU link every batched forward pays a full
+round trip; ``BatchPipeline`` keeps up to ``inflight`` batches pending
+by dispatching batch N+1's device work (jax dispatch is async) before
+collecting batch N's results, so upload + device compute overlap the
+host postprocess of the previous batch. With ``inflight=0`` it
+degenerates to the synchronous call order (used by interactive --visu
+mode, which wants per-image display).
+
+The device path rides YOLOModel.dispatch_batch_device /
+collect_batch_device (bit-exact vs forward_batch); models that cannot
+run device-resident (nms=False) fall back to a synchronous
+forward_batch per submit. (The reference has no analog: it runs one
+onnxruntime session call per image under a global lock,
+MetLib/model.py:341-383.)
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+
+class BatchPipeline:
+    """Order-preserving dispatch/collect pipeline over batched YOLO
+    inference. ``submit`` returns completed (tag, (boxes, cls)) pairs
+    for batches pushed beyond the in-flight budget; ``drain`` flushes
+    the rest."""
+
+    def __init__(self, model, inflight: int = 1) -> None:
+        self.model = model
+        self.inflight = max(int(inflight), 0)
+        self._q: collections.deque = collections.deque()
+        self._device_ok = True
+
+    def _dispatch(self, imgs: np.ndarray):
+        m = self.model
+        if self._device_ok and getattr(m, "nms", False) and hasattr(
+                m, "dispatch_batch_device"):
+            import jax.numpy as jnp
+            try:
+                return True, m.dispatch_batch_device(jnp.asarray(imgs))
+            except NotImplementedError:
+                self._device_ok = False
+        return False, m.forward_batch(imgs)
+
+    def _collect(self, entry) -> list:
+        tags, is_dev, handle = entry
+        outs = (self.model.collect_batch_device(handle) if is_dev
+                else handle)
+        return list(zip(tags, outs))
+
+    def submit(self, tags: list, imgs: np.ndarray) -> list:
+        """Dispatch one batch (tags are caller-opaque, one per image);
+        collect and return batches now beyond the in-flight budget, in
+        submission order."""
+        is_dev, handle = self._dispatch(imgs)
+        self._q.append((list(tags), is_dev, handle))
+        done: list = []
+        while len(self._q) > self.inflight:
+            done.extend(self._collect(self._q.popleft()))
+        return done
+
+    def drain(self) -> list:
+        """Collect every pending batch, in submission order."""
+        done: list = []
+        while self._q:
+            done.extend(self._collect(self._q.popleft()))
+        return done

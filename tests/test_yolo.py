@@ -459,6 +459,35 @@ def test_mldetector_async_pipeline_matches_sync():
         np.testing.assert_allclose(cls_a, cls_s, rtol=1e-6)
 
 
+def test_batch_pipeline_matches_direct():
+    """BatchPipeline (dispatch/collect overlap for the photo loops) must
+    return exactly forward_batch's results, tagged, in submission order,
+    lagging by at most the in-flight budget."""
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.models.pipeline import BatchPipeline
+    from metdetpy_tpu.models.yolo import YOLOModel
+    imgs = _streak_test_imgs()
+    m = YOLOModel(weight_path="weights/yolov5s_v5.flax.npz",
+                  dtype="float32", nms=True, warmup=False,
+                  multiscale_pred=1, multiscale_partition=2,
+                  logger=get_default_logger(), input_hw=(320, 320))
+    direct = m.forward_batch(imgs)
+    pipe = BatchPipeline(m, inflight=1)
+    done = pipe.submit([("a", 0), ("a", 1)], imgs)
+    assert done == []  # first batch stays in flight
+    done += pipe.submit([("b", 0), ("b", 1)], imgs)
+    assert [t for t, _ in done] == [("a", 0), ("a", 1)]
+    done += pipe.drain()
+    assert [t for t, _ in done] == [("a", 0), ("a", 1), ("b", 0), ("b", 1)]
+    for (_, (pos_p, cls_p)), (pos_d, cls_d) in zip(done, list(direct) * 2):
+        np.testing.assert_array_equal(pos_p, pos_d)
+        np.testing.assert_allclose(cls_p, cls_d, rtol=1e-6)
+    # synchronous mode (visu): results return on the same submit
+    sync = BatchPipeline(m, inflight=0)
+    done0 = sync.submit([0, 1], imgs)
+    assert [t for t, _ in done0] == [0, 1] and not sync.drain()
+
+
 def test_mldetector_reset_device_state():
     """Device-fault recovery drops the window-history carry (api.py's
     block loop calls this after a transient device failure)."""
