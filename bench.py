@@ -635,8 +635,36 @@ def bench_yolo():
     }))
 
 
+def _backend_watchdog():
+    """A dead tunnel makes jax backend init HANG indefinitely (observed on
+    this dev host: `jax.devices()` blocks forever while the axon relay is
+    down). Bound it so the driver's bench run fails visibly within
+    BENCH_BACKEND_TIMEOUT_S (default 900) instead of hanging the round."""
+    import threading
+    limit = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 900))
+    ok: list = []
+
+    def probe():
+        import jax
+        ok.append(jax.devices()[0].platform)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(limit)
+    if not ok:
+        sys.stderr.write(
+            f"[bench] jax backend init did not complete within "
+            f"{limit:.0f}s (TPU tunnel down?); aborting\n")
+        os._exit(3)
+    sys.stderr.write(f"[bench] backend: {ok[0]}\n")
+
+
 def main():
     mode = os.environ.get("BENCH_MODE")
+    if mode != "multistream_sharded":
+        # the sharded mode pins a virtual CPU mesh BEFORE backend init and
+        # must not have the watchdog initialize the axon backend first
+        _backend_watchdog()
     if mode == "multistream":
         bench_multistream()
         return
