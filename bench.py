@@ -411,12 +411,15 @@ def bench_dldet():
         "vs_baseline": round(value / REFERENCE_FPS, 2),
         "meteor_found": n_meteors >= 1,
         "detector": "MLDetector(yolov5s_v5 flax, bf16, 320x320)",
-        # e2e here is tunnel-round-trip-bound (per-block stack fetch +
-        # forward dispatches in the post-first-fetch synchronized mode);
-        # chip capability for this path is BENCH_MODE=yolo's device-only
-        # number (9,713 imgs/s at b256 recorded r2)
-        "note": "transport-bound on the tunneled dev chip; see "
-                "BENCH_MODE=yolo for device-only capability",
+        # the dldet path is device-resident + pipelined (decode-thread
+        # device_put -> fused window-max/forward/top-k on device -> only
+        # compacted candidates read back, 6 blocks in flight); residual
+        # bound on the tunneled dev chip is the synchronized per-block
+        # readback RTT; chip capability for this path is BENCH_MODE=yolo's
+        # device-only number (9,713 imgs/s at b256 recorded r2)
+        "note": "device-resident stacks + async block pipeline; "
+                "tunnel-RTT residual; see BENCH_MODE=yolo for device-only "
+                "capability",
     }))
 
 

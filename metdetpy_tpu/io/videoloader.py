@@ -19,6 +19,7 @@ stop / release / summary + exp-time estimation). Two delivery models:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from abc import ABCMeta, abstractmethod
@@ -43,6 +44,69 @@ UP_EXPOSURE_BOUND = 0.5
 DEFAULT_EXPOSURE_FRAME = 1
 SHORT_LENGTH_THRESHOLD = 300
 RF_ESTIMATE_LENGTH = 100
+
+_ASSEMBLE_PROBE_CACHE: dict = {}
+
+
+def _native_assemble_wins(src_shape: tuple, dst_hw: tuple) -> bool:
+    """Start-time probe: fused-C chunk assembly vs cv2's SIMD per-frame
+    kernels (resize [+ gray]) for this (source shape -> block shape).
+
+    cv2's hand-vectorized resize measured 10-14x faster than the scalar
+    fixed-point C loop on an uncontended core (2026-08-17, 1080p ->
+    960x540), while the C path's one-GIL-release-per-chunk advantage has
+    measured wins on this host under heavy allocator/THP contention — so
+    measure at loader start instead of hard-coding either. Both paths are
+    cv2-bit-exact, so the choice never changes results. Env override:
+    METDETPY_TPU_NATIVE_ASSEMBLE=0|1."""
+    env = os.environ.get("METDETPY_TPU_NATIVE_ASSEMBLE")
+    if env in ("0", "1"):
+        return env == "1"
+    key = (tuple(src_shape), tuple(dst_hw))
+    if key in _ASSEMBLE_PROBE_CACHE:
+        return _ASSEMBLE_PROBE_CACHE[key]
+    import time as _time
+    dh, dw = dst_hw
+    color = len(src_shape) == 3
+    n = 4
+    frames = [np.full(src_shape, 128, np.uint8) for _ in range(n)]
+    block = np.zeros((n, dh, dw), np.uint8)
+    if color:
+        cscratch = np.zeros((dh, dw, 3), np.uint8)
+
+        def native():
+            _resize_bgr2gray_assemble_u8(frames, block, 0, 1,
+                                         color_scratch=cscratch,
+                                         gray_scratch=None)
+
+        def cv2_path():
+            for i, f in enumerate(frames):
+                cv2.resize(f, (dw, dh), dst=cscratch,
+                           interpolation=cv2.INTER_LINEAR)
+                cv2.cvtColor(cscratch, cv2.COLOR_BGR2GRAY, dst=block[i])
+    else:
+
+        def native():
+            _resize_assemble_u8(frames, block, 0, 1, None)
+
+        def cv2_path():
+            for i, f in enumerate(frames):
+                cv2.resize(f, (dw, dh), dst=block[i],
+                           interpolation=cv2.INTER_LINEAR)
+
+    def best(fn) -> float:
+        b = float("inf")
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            fn()
+            b = min(b, _time.perf_counter() - t0)
+        return b
+
+    cv2_path()  # touch pages / warm caches for both paths
+    native()
+    win = best(native) < best(cv2_path)
+    _ASSEMBLE_PROBE_CACHE[key] = win
+    return win
 SLOW_EXP_TIME = 1 / 4
 GET_TIMEOUT = 10
 PUT_TIMEOUT = 10
@@ -126,6 +190,13 @@ class HostPreprocess:
             np.copyto(out, self(frame))
             return
         if frame.ndim == 3:
+            if self.resize and not self.grayscale and out.ndim == 3:
+                # color destination: resize straight into the block slot
+                cv2.resize(frame, self.dsize, dst=out,
+                           interpolation=self.interpolation)
+                if self.masked:
+                    np.multiply(out, self.mask, out=out)
+                return
             if self.resize:
                 if scratch is None:
                     frame = cv2.resize(frame, self.dsize,
@@ -857,18 +928,23 @@ class BlockVideoLoader(VanillaVideoLoader):
                 raw_left -= len(chunk)
                 t0 = _time.perf_counter() if stats is not None else 0.0
                 if direct:
-                    # unmasked chunks headed for a gray block assemble
+                    # unmasked chunks headed for a gray block can assemble
                     # through ONE native call (cv2-bit-exact INTER_LINEAR
                     # resize + BT.601 gray conversion for color sources +
-                    # exposure merge, GIL released for the whole chunk);
-                    # anything else -- color output blocks, masks,
-                    # non-linear interpolation -- goes through the
-                    # per-frame into() path
+                    # exposure merge, GIL released for the whole chunk) --
+                    # but only when the start-time probe says the fused C
+                    # loop actually beats cv2's SIMD per-frame kernels on
+                    # this host (see _native_assemble_wins); anything else
+                    # -- color output blocks, masks, non-linear
+                    # interpolation -- goes through the per-frame into()
+                    # path
                     native_ok = (self.grayscale
                                  and chunk[0].ndim in (2, 3)
                                  and not self.preprocess.masked
                                  and self.preprocess.interpolation
-                                 == cv2.INTER_LINEAR)
+                                 == cv2.INTER_LINEAR
+                                 and _native_assemble_wins(
+                                     chunk[0].shape, (h, w)))
                     if (resize_scratch is None and chunk[0].ndim == 3
                             and self.preprocess.resize):
                         resize_scratch = np.zeros((h, w, 3), np.uint8)

@@ -331,3 +331,51 @@ def test_device_preprocess_e2e_equals_host_path(monkeypatch):
         == [r.to_dict() for r in off.results]
     assert any(t.category == "METEOR"
                for r in on.results for t in r.target)
+
+
+def test_native_assemble_probe_gate(monkeypatch):
+    """The start-time assembler probe (fused-C chunk assembly vs cv2's
+    SIMD per-frame kernels) must honor env pins, cache its measurement,
+    and return a bool either way. Both paths are cv2-bit-exact, so the
+    choice never changes results (pinned below)."""
+    from metdetpy_tpu.io import videoloader as vl
+    vl._ASSEMBLE_PROBE_CACHE.clear()
+    monkeypatch.setenv("METDETPY_TPU_NATIVE_ASSEMBLE", "1")
+    assert vl._native_assemble_wins((64, 96), (32, 48)) is True
+    monkeypatch.setenv("METDETPY_TPU_NATIVE_ASSEMBLE", "0")
+    assert vl._native_assemble_wins((64, 96), (32, 48)) is False
+    monkeypatch.delenv("METDETPY_TPU_NATIVE_ASSEMBLE")
+    r = vl._native_assemble_wins((64, 96, 3), (32, 48))
+    assert isinstance(r, bool)
+    assert vl._ASSEMBLE_PROBE_CACHE[((64, 96, 3), (32, 48))] == r
+
+
+def test_assemble_choice_is_bit_exact(monkeypatch):
+    """Pinning the assembler either way must produce identical block
+    streams (gray and color sources, with exposure merge)."""
+    rng = np.random.default_rng(3)
+
+    def stream(frames, grayscale):
+        loader = BlockVideoLoader(
+            NumpyVideoWrapper, frames, resize_option=[24, 16],
+            exp_option=2 / 25, merge_func="max", grayscale=grayscale,
+            block_frames=8)
+        loader.start()
+        out = []
+        while True:
+            blk = loader.pop_block()
+            if blk is None:
+                break
+            out.append(np.asarray(blk).copy())
+        loader.stop()
+        return np.concatenate(out)
+
+    for frames, grayscale in (
+            (rng.integers(0, 255, (24, 32, 48), dtype=np.uint8), True),
+            (rng.integers(0, 255, (24, 32, 48, 3), dtype=np.uint8), True),
+            (rng.integers(0, 255, (24, 32, 48, 3), dtype=np.uint8), False)):
+        monkeypatch.setenv("METDETPY_TPU_NATIVE_ASSEMBLE", "1")
+        a = stream(frames, grayscale)
+        monkeypatch.setenv("METDETPY_TPU_NATIVE_ASSEMBLE", "0")
+        b = stream(frames, grayscale)
+        np.testing.assert_array_equal(a, b)
