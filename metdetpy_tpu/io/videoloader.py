@@ -1228,6 +1228,9 @@ def _process_decode_worker(wrapper_cls, video_name, hwaccel, start_frame,
         color_acc = None
         group: list = []
         cgroup: list = []
+        n_in_group = 0
+        scratch3 = None
+        merge_scratch = None
         raw_left = n_raw_total
         while raw_left > 0 and not stop_evt.is_set():
             ok, raw = wrapper.read()
@@ -1241,17 +1244,13 @@ def _process_decode_worker(wrapper_cls, video_name, hwaccel, start_frame,
                 g, c = preprocess(raw, keep_color=True)
                 group.append(g)
                 cgroup.append(c)
-            else:
-                group.append(preprocess(raw))
-            if len(group) < exp_frame:
-                continue
-            merged = group[0]
-            for f in group[1:]:
-                _np.maximum(merged, f, out=merged)
-            group = []
-            ring[slot, n_in_block] = merged
-            n_in_block += 1
-            if keep_color:
+                if len(group) < exp_frame:
+                    continue
+                merged = group[0]
+                for f in group[1:]:
+                    _np.maximum(merged, f, out=merged)
+                group = []
+                ring[slot, n_in_block] = merged
                 color = _np.ascontiguousarray(cgroup[0])
                 for f in cgroup[1:]:
                     _np.maximum(color, f, out=color)
@@ -1262,6 +1261,28 @@ def _process_decode_worker(wrapper_cls, video_name, hwaccel, start_frame,
                     ready_q.put(("stack", merged_idx // recheck_chunk,
                                  color_acc))
                     color_acc = None
+            else:
+                # allocation-free hot path: preprocess straight into the
+                # shared-memory ring slot (cv2 dst= kernels; mirrors the
+                # in-process loader's into() path)
+                dst = ring[slot, n_in_block]
+                if (scratch3 is None and raw.ndim == 3
+                        and preprocess.resize and preprocess.grayscale):
+                    scratch3 = _np.empty(
+                        (preprocess.dsize[1], preprocess.dsize[0], 3),
+                        _np.uint8)
+                if n_in_group == 0:
+                    preprocess.into(raw, dst, scratch3)
+                else:
+                    if merge_scratch is None:
+                        merge_scratch = _np.empty_like(dst)
+                    preprocess.into(raw, merge_scratch, scratch3)
+                    _np.maximum(dst, merge_scratch, out=dst)
+                n_in_group += 1
+                if n_in_group < exp_frame:
+                    continue
+                n_in_group = 0
+            n_in_block += 1
             merged_idx += 1
             if n_in_block == block_frames:
                 ready_q.put(("block", slot, n_in_block))

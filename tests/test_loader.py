@@ -379,3 +379,29 @@ def test_assemble_choice_is_bit_exact(monkeypatch):
         monkeypatch.setenv("METDETPY_TPU_NATIVE_ASSEMBLE", "0")
         b = stream(frames, grayscale)
         np.testing.assert_array_equal(a, b)
+
+
+def test_process_loader_color_source_resize():
+    """Color source frames + resize through the subprocess worker's
+    into()-based allocation-free hot path must match the in-process
+    BlockVideoLoader exactly."""
+    from metdetpy_tpu.io.videoloader import ProcessVideoLoader
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, (24, 32, 48, 3), dtype=np.uint8)
+    kw = dict(resize_option=[24, 16], exp_option=2 / 25, merge_func="max",
+              grayscale=True, block_frames=8)
+
+    def run(cls):
+        loader = cls(NumpyVideoWrapper, frames, **kw)
+        loader.start()
+        out = []
+        while True:
+            blk = loader.pop_block()
+            if blk is None:
+                break
+            out.append(np.asarray(blk).copy())
+        loader.release()
+        return np.concatenate(out)
+
+    np.testing.assert_array_equal(run(ProcessVideoLoader),
+                                  run(BlockVideoLoader))
