@@ -646,18 +646,26 @@ def _backend_watchdog():
     import threading
     limit = float(os.environ.get("BENCH_BACKEND_TIMEOUT_S", 900))
     ok: list = []
+    err: list = []
 
     def probe():
-        import jax
-        ok.append(jax.devices()[0].platform)
+        try:
+            import jax
+            ok.append(jax.devices()[0].platform)
+        except BaseException as exc:  # report init errors distinctly
+            err.append(exc)
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(limit)
     if not ok:
-        sys.stderr.write(
-            f"[bench] jax backend init did not complete within "
-            f"{limit:.0f}s (TPU tunnel down?); aborting\n")
+        if err:
+            sys.stderr.write(f"[bench] jax backend init FAILED: "
+                             f"{err[0]!r}; aborting\n")
+        else:
+            sys.stderr.write(
+                f"[bench] jax backend init did not complete within "
+                f"{limit:.0f}s (TPU tunnel down?); aborting\n")
         os._exit(3)
     sys.stderr.write(f"[bench] backend: {ok[0]}\n")
 

@@ -44,6 +44,12 @@ UP_EXPOSURE_BOUND = 0.5
 DEFAULT_EXPOSURE_FRAME = 1
 SHORT_LENGTH_THRESHOLD = 300
 RF_ESTIMATE_LENGTH = 100
+SLOW_EXP_TIME = 1 / 4
+GET_TIMEOUT = 10
+PUT_TIMEOUT = 10
+FAILED_FLAG = "failed"
+DEFAULT_BLOCK_FRAMES = 64
+RECHECK_CHUNK = 16
 
 _ASSEMBLE_PROBE_CACHE: dict = {}
 
@@ -94,25 +100,23 @@ def _native_assemble_wins(src_shape: tuple, dst_hw: tuple) -> bool:
                 cv2.resize(f, (dw, dh), dst=block[i],
                            interpolation=cv2.INTER_LINEAR)
 
-    def best(fn) -> float:
-        b = float("inf")
-        for _ in range(2):
-            t0 = _time.perf_counter()
-            fn()
-            b = min(b, _time.perf_counter() - t0)
-        return b
-
     cv2_path()  # touch pages / warm caches for both paths
     native()
-    win = best(native) < best(cv2_path)
+    # interleaved min-of-3 per path: this host's CPU stalls come in
+    # multi-ms episodes (THP/steal), so alternating samples keeps one
+    # episode from poisoning a single path's whole measurement; min takes
+    # each path's cleanest sample
+    t_native = t_cv2 = float("inf")
+    for _ in range(3):
+        t0 = _time.perf_counter()
+        native()
+        t_native = min(t_native, _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        cv2_path()
+        t_cv2 = min(t_cv2, _time.perf_counter() - t0)
+    win = t_native < t_cv2
     _ASSEMBLE_PROBE_CACHE[key] = win
     return win
-SLOW_EXP_TIME = 1 / 4
-GET_TIMEOUT = 10
-PUT_TIMEOUT = 10
-FAILED_FLAG = "failed"
-DEFAULT_BLOCK_FRAMES = 64
-RECHECK_CHUNK = 16
 
 
 class MergeFunction:

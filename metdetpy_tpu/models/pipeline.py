@@ -40,8 +40,17 @@ class BatchPipeline:
         if self._device_ok and getattr(m, "nms", False) and hasattr(
                 m, "dispatch_batch_device"):
             import jax.numpy as jnp
+
+            from .yolo import _ensure_3ch
+
+            # mirror forward_batch's preconditions: photo folders load
+            # with IMREAD_UNCHANGED, so grayscale (2-D) and RGBA frames
+            # must be channel-normalized before the device path sees them
+            x = imgs
+            if x.ndim == 3 or x.shape[-1] != 3:
+                x = np.stack([_ensure_3ch(im) for im in x])
             try:
-                return True, m.dispatch_batch_device(jnp.asarray(imgs))
+                return True, m.dispatch_batch_device(jnp.asarray(x))
             except NotImplementedError:
                 self._device_ok = False
         return False, m.forward_batch(imgs)

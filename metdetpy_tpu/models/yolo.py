@@ -459,6 +459,10 @@ class YOLOModel:
                 "device-resident dispatch requires nms=True")
         b, h, w, c = imgs_dev.shape
         assert c == self.c, "channel count must match"
+        if imgs_dev.dtype not in (np.uint8, np.uint16):
+            # match forward_batch's host semantics for float inputs
+            # (divide by 255); u8/u16 normalize inside the fused jits
+            imgs_dev = imgs_dev.astype(jnp.float32) / 255.0
         k = self._k_budget()
         single_scale = self.multiscale_pred == 0
         if single_scale:

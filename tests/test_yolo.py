@@ -393,14 +393,16 @@ def test_mldetector_device_stacks_match_host():
     from metdetpy_tpu.structs import DLCfg
 
     class _HostOnly:
-        """Proxy hiding forward_batch_device so MLDetector falls back to
-        the host-fetch path."""
+        """Proxy hiding BOTH device entry points (dispatch_batch_device
+        gates process_block_async; forward_batch_device gates the sync
+        fallback) so MLDetector truly falls back to the host-fetch
+        forward_batch path."""
 
         def __init__(self, inner):
             self._inner = inner
 
         def __getattr__(self, name):
-            if name == "forward_batch_device":
+            if name in ("forward_batch_device", "dispatch_batch_device"):
                 raise AttributeError(name)
             return getattr(self._inner, name)
 
@@ -486,6 +488,15 @@ def test_batch_pipeline_matches_direct():
     sync = BatchPipeline(m, inflight=0)
     done0 = sync.submit([0, 1], imgs)
     assert [t for t, _ in done0] == [0, 1] and not sync.drain()
+    # 2-D batches (photo folders load IMREAD_UNCHANGED, so grayscale
+    # images arrive without a channel axis) must match forward_batch
+    # through the device dispatch path too
+    gray = imgs[..., 0]
+    direct_g = m.forward_batch(gray)
+    done_g = BatchPipeline(m, inflight=0).submit([0, 1], gray)
+    for (_, (pos_p, cls_p)), (pos_d, cls_d) in zip(done_g, direct_g):
+        np.testing.assert_array_equal(pos_p, pos_d)
+        np.testing.assert_allclose(cls_p, cls_d, rtol=1e-6)
 
 
 def test_mldetector_reset_device_state():
