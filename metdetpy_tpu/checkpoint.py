@@ -89,8 +89,13 @@ def series_from_state(state: dict[str, Any]) -> MeteorSeries:
 
 
 def detector_state(detector) -> dict[str, np.ndarray]:
-    """Device carries of a LineDetector as host arrays."""
+    """Device carries of a detector as host arrays (LineDetector window/
+    EMA/dynamic-mask histories; MLDetector's rolling window-max carry)."""
     import jax
+    if not hasattr(detector, "_gray_hist"):
+        if hasattr(detector, "_hist"):  # MLDetector
+            return {"ml_hist": np.asarray(detector._hist)}
+        return {}  # stateless/unknown detector: re-warms after resume
     out = {
         "gray_hist": np.asarray(detector._gray_hist),
         "sub_hist": np.asarray(detector._sub_hist),
@@ -107,6 +112,10 @@ def detector_state(detector) -> dict[str, np.ndarray]:
 def restore_detector(detector, arrays: dict[str, np.ndarray]) -> None:
     import jax
     import jax.numpy as jnp
+    if "gray_hist" not in arrays:
+        if "ml_hist" in arrays and hasattr(detector, "_hist"):
+            detector._hist = jnp.asarray(arrays["ml_hist"])
+        return
     detector._gray_hist = jnp.asarray(arrays["gray_hist"])
     detector._sub_hist = jnp.asarray(arrays["sub_hist"])
     detector._dy_hist = jnp.asarray(arrays["dy_hist"])

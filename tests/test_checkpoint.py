@@ -61,3 +61,31 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path):
     meteor_resumed = [x for x in got_resumed if x[1] == "METEOR"]
     assert len(meteor_resumed) == len(meteor_full) >= 1
     assert meteor_resumed[0][0] == meteor_full[0][0]  # same start time
+
+
+def test_checkpoint_mldetector_state_roundtrip():
+    """detector_state/restore_detector must carry MLDetector's rolling
+    window-max history (LineDetector-specific keys are absent there)."""
+    import numpy as np
+
+    from metdetpy_tpu.checkpoint import detector_state, restore_detector
+    from metdetpy_tpu.detectors.mldet import MLDetector
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.structs import DLCfg
+    cfg = DLCfg.from_dict({"model": {
+        "name": "YOLOModel", "weight_path": "weights/yolov5s_v5.flax.npz",
+        "dtype": "float32", "nms": True, "warmup": False, "pos_thre": 0.25,
+        "nms_thre": 0.45, "multiscale_pred": 0, "multiscale_partition": 2,
+        "input_hw": "96x96"}})
+    det = MLDetector(window_sec=1.0, fps=3.0,
+                     mask=np.ones((24, 48, 3), np.uint8), num_cls=9,
+                     cfg=cfg, logger=get_default_logger())
+    rng = np.random.default_rng(0)
+    det.process_block(rng.integers(0, 255, (4, 24, 48, 3), np.uint8))
+    saved = detector_state(det)
+    assert set(saved) == {"ml_hist"}
+    hist_before = np.asarray(det._hist).copy()
+    det.reset_device_state()
+    assert not np.asarray(det._hist).any()
+    restore_detector(det, saved)
+    np.testing.assert_array_equal(np.asarray(det._hist), hist_before)
