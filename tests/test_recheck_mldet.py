@@ -102,3 +102,41 @@ def test_mldetector_detection_quality():
     ys = [t.pt1[1], t.pt2[1]]
     assert min(xs) < 288 and max(xs) > 192
     assert min(ys) < 198 and max(ys) > 90
+
+
+def test_mldetector_device_fault_recovery(color_frames, monkeypatch):
+    """A transient fault on one MLDetector block must be recovered by the
+    block loop (reset_device_state + zero-fill), not kill the run — the
+    dldet analog of test_device_failure_recovery."""
+    from metdetpy_tpu.detectors.mldet import MLDetector
+
+    monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
+    monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "16")
+    orig_collect = MLDetector.collect
+    state = {"calls": 0, "resets": 0}
+
+    def flaky_collect(self, handle):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("injected FAILED_PRECONDITION")
+        return orig_collect(self, handle)
+
+    orig_reset = MLDetector.reset_device_state
+
+    def counting_reset(self):
+        state["resets"] += 1
+        return orig_reset(self)
+
+    monkeypatch.setattr(MLDetector, "collect", flaky_collect)
+    monkeypatch.setattr(MLDetector, "reset_device_state", counting_reset)
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(color_frames, None, cfg, work_mode="backend")
+    assert state["resets"] == 1
+    # the run completed and processed every frame after the dropped block
+    assert mdrf.performance and mdrf.performance["frames"] >= 80
