@@ -93,6 +93,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="multiscale num.")
     parser.add_argument("--partition", "-P", type=int, default=2,
                         help="partition in pyramid.")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="shard each inference batch over N devices "
+                             "(0 = single device). Batches split on the "
+                             "image axis; results are identical.")
     parser.add_argument("--visu", "-V", action="store_true",
                         help="show detect results.")
     parser.add_argument("--visu-resolution", "-R", type=str,
@@ -131,6 +135,13 @@ def main() -> None:
     model = YOLOModel(model_path, dtype="bfloat16", nms=True, warmup=True,
                       logger=logger, multiscale_pred=args.scale,
                       multiscale_partition=args.partition)
+    batch_sharding = None
+    if args.data_parallel > 1:
+        from metdetpy_tpu.parallel.dataparallel import \
+            batch_sharding as _mk_sharding
+        batch_sharding = _mk_sharding(args.data_parallel)
+        logger.info(f"Data-parallel inference over "
+                    f"{args.data_parallel} devices.")
     logger.start()
     results: list[SingleImgRecord] = []
     video = None
@@ -152,7 +163,8 @@ def main() -> None:
             # mode stays per-image + synchronous for interactivity
             batch_cap = 1 if args.visu else PHOTO_BATCH_SIZE
             pipeline = BatchPipeline(model,
-                                     inflight=0 if args.visu else 1)
+                                     inflight=0 if args.visu else 1,
+                                     sharding=batch_sharding)
             pending: list[tuple[str, np.ndarray]] = []
 
             def process_done(done) -> bool:
@@ -246,7 +258,8 @@ def main() -> None:
                                                flag=args.visu)
                 tl_cap = 1 if args.visu else PHOTO_BATCH_SIZE
                 tl_pipeline = BatchPipeline(model,
-                                            inflight=0 if args.visu else 1)
+                                            inflight=0 if args.visu else 1,
+                                            sharding=batch_sharding)
                 tl_pending: list[tuple[int, np.ndarray]] = []
 
                 def process_tl_done(done) -> bool:

@@ -29,9 +29,13 @@ class BatchPipeline:
     for batches pushed beyond the in-flight budget; ``drain`` flushes
     the rest."""
 
-    def __init__(self, model, inflight: int = 1) -> None:
+    def __init__(self, model, inflight: int = 1, sharding=None) -> None:
+        """sharding: optional jax NamedSharding splitting the batch axis
+        over a device mesh (see parallel.dataparallel.batch_sharding) —
+        each chip then runs its own sub-batch of the same program."""
         self.model = model
         self.inflight = max(int(inflight), 0)
+        self.sharding = sharding
         self._q: collections.deque = collections.deque()
         self._device_ok = True
 
@@ -49,8 +53,15 @@ class BatchPipeline:
             x = imgs
             if x.ndim == 3 or x.shape[-1] != 3:
                 x = np.stack([_ensure_3ch(im) for im in x])
+            if self.sharding is not None:
+                from ..parallel.dataparallel import put_batch_sharded
+                # pad rows beyond the real batch are dropped by _collect's
+                # zip against the (unpadded) tag list
+                dev, _ = put_batch_sharded(np.asarray(x), self.sharding)
+            else:
+                dev = jnp.asarray(x)
             try:
-                return True, m.dispatch_batch_device(jnp.asarray(x))
+                return True, m.dispatch_batch_device(dev)
             except NotImplementedError:
                 self._device_ok = False
         return False, m.forward_batch(imgs)
