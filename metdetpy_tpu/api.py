@@ -227,6 +227,9 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
     from .parallel.mesh import build_mesh
     from .parallel.temporal import (detect_frames_temporal,
                                     detect_frames_temporal_streaming)
+    from .parallel.temporal_dldet import (
+        detect_frames_temporal_dldet,
+        detect_frames_temporal_dldet_streaming)
 
     set_default_logger(False, work_mode)
     logger = get_default_logger()
@@ -234,14 +237,16 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
     try:
         LoaderCls = get_loader(cfg.loader.name)
         WrapperCls = get_wrapper(cfg.loader.wrapper)
-        assert cfg.loader.grayscale, (
-            "temporal batch detection requires a grayscale "
-            "(classic-detector) config")
+        dldet = cfg.detector.name == "MLDetector"
+        assert cfg.loader.grayscale != dldet, (
+            "temporal batch detection requires a grayscale classic-"
+            "detector config, or a color MLDetector (dldet) config")
         start_time, end_time = time_range
         video_loader = LoaderCls(
             WrapperCls, video_name, mask_name=mask_name,
             resize_option=cfg.loader.resize, hwaccel=cfg.loader.hwaccel,
-            start_time=start_time, end_time=end_time, grayscale=True,
+            start_time=start_time, end_time=end_time,
+            grayscale=not dldet,
             exp_option=cfg.loader.exp_time,
             exp_upper_bound=cfg.loader.upper_bound,
             merge_func=cfg.loader.merge_func,
@@ -281,7 +286,9 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
 
         if super_block_sec is not None:
             super_frames = max(int(super_block_sec * rt_param.eq_fps), n)
-            records, used = detect_frames_temporal_streaming(
+            stream_fn = (detect_frames_temporal_dldet_streaming if dldet
+                         else detect_frames_temporal_streaming)
+            records, used = stream_fn(
                 iter_blocks(), cfg, fps=rt_param.eq_fps, mask=mask,
                 mesh=mesh, super_block_frames=super_frames, logger=logger,
                 rt_params=rt_param)
@@ -297,7 +304,9 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
                 raise ValueError("no frames decoded")
             frames = np.concatenate(chunks, axis=0)
             del chunks
-            records, used = detect_frames_temporal(
+            batch_fn = (detect_frames_temporal_dldet if dldet
+                        else detect_frames_temporal)
+            records, used = batch_fn(
                 frames, cfg, fps=rt_param.eq_fps, mask=mask, mesh=mesh,
                 logger=logger, rt_params=rt_param)
             logger.info(f"Temporal batch detection: {used} merged frames "
