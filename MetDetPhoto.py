@@ -162,9 +162,11 @@ def main() -> None:
             # upload + device compute overlap the host postprocess); visu
             # mode stays per-image + synchronous for interactivity
             batch_cap = 1 if args.visu else PHOTO_BATCH_SIZE
-            pipeline = BatchPipeline(model,
-                                     inflight=0 if args.visu else 1,
-                                     sharding=batch_sharding)
+            # visu mode runs single-image batches: sharding would pad
+            # each to N redundant device copies, so keep it off there
+            pipeline = BatchPipeline(
+                model, inflight=0 if args.visu else 1,
+                sharding=None if args.visu else batch_sharding)
             pending: list[tuple[str, np.ndarray]] = []
 
             def process_done(done) -> bool:
@@ -257,9 +259,9 @@ def main() -> None:
                                                resolution=visu_resolution,
                                                flag=args.visu)
                 tl_cap = 1 if args.visu else PHOTO_BATCH_SIZE
-                tl_pipeline = BatchPipeline(model,
-                                            inflight=0 if args.visu else 1,
-                                            sharding=batch_sharding)
+                tl_pipeline = BatchPipeline(
+                    model, inflight=0 if args.visu else 1,
+                    sharding=None if args.visu else batch_sharding)
                 tl_pending: list[tuple[int, np.ndarray]] = []
 
                 def process_tl_done(done) -> bool:

@@ -220,7 +220,9 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
     is bounded by one super-block, making multi-hour monitoring videos
     tractable; results are bit-equal to the whole-clip mode.
 
-    Requires a grayscale classic-detector config.
+    Accepts a grayscale classic-detector config (the fused M3 step,
+    parallel.temporal) or a color MLDetector/dldet config (sharded
+    window-max + data-parallel YOLO, parallel.temporal_dldet).
     """
     import jax
 
@@ -293,10 +295,15 @@ def detect_video_temporal(video_name: str, mask_name: Optional[str],
                 mesh=mesh, super_block_frames=super_frames, logger=logger,
                 rt_params=rt_param)
             video_loader.release()
+            if dldet:  # mirror temporal_dldet's super-block sizing
+                n_win = max(int(cfg.detector.window_sec
+                                * rt_param.eq_fps), 1)
+                sb_frames = max(super_frames // n, n_win - 1, 1) * n
+            else:
+                sb_frames = max(super_frames // n * n, n)
             logger.info(f"Streaming temporal detection: {used} merged "
                         f"frames over {n} shards in "
-                        f"{-(-used // max(super_frames // n * n, n))} "
-                        f"super-blocks.")
+                        f"{-(-used // sb_frames)} super-blocks.")
         else:
             chunks = list(iter_blocks())
             video_loader.release()
@@ -470,13 +477,6 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                     logger.info("Manual interrupt signal detected.")
                     return False
             merged_idx += 1
-        if checkpoint_path and (time.time() - last_ckpt
-                                >= checkpoint_interval_sec):
-            from .checkpoint import save_checkpoint
-            with timer.stage("checkpoint"):
-                save_checkpoint(checkpoint_path, detector, collector,
-                                merged_idx)
-            last_ckpt = time.time()
         if live_mode:
             expect = (merged_idx * e / rt_param.fps
                       ) * LIVE_MODE_SPEED_CTRL_CONST
@@ -498,6 +498,23 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 if consume(inflight.popleft()) is False:
                     stopped = True
                     break
+            if (checkpoint_path and not stopped
+                    and time.time() - last_ckpt >= checkpoint_interval_sec):
+                # drain the pipeline BEFORE snapshotting: detector device
+                # carries advance at dispatch time, so a snapshot taken
+                # with blocks still inflight would be ahead of the
+                # collector/frame cursor, and a resume would replay frames
+                # against a window history containing their own future
+                while inflight:
+                    if consume(inflight.popleft()) is False:
+                        stopped = True
+                        break
+                if not stopped:
+                    from .checkpoint import save_checkpoint
+                    with timer.stage("checkpoint"):
+                        save_checkpoint(checkpoint_path, detector,
+                                        collector, merged_idx)
+                    last_ckpt = time.time()
         while inflight and not stopped:
             if consume(inflight.popleft()) is False:
                 break

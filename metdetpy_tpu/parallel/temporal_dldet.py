@@ -57,8 +57,14 @@ def temporal_window_max_color(frames, n: int, mesh: Mesh,
     divide by the mesh size). ``carry`` is the previous super-block's
     gathered [s, n-1, H, W, 3] tail (zeros-except-shard-0) or None at
     stream start. Returns (stacks_dev sharded on time, next_carry)."""
+    from jax.sharding import NamedSharding
     s = mesh.devices.size
-    frames = jnp.asarray(frames)
+    if not isinstance(frames, jax.Array):
+        # shard the upload directly onto the mesh (staging the whole
+        # clip on one chip would bound clip size by a single HBM and
+        # double the transfer)
+        frames = jax.device_put(np.ascontiguousarray(frames),
+                                NamedSharding(mesh, P(axis_name)))
     if n == 1:
         return frames, carry
     assert frames.shape[0] // s >= n - 1, (
@@ -110,7 +116,9 @@ def detect_frames_temporal_dldet(frames: np.ndarray, cfg, fps: float,
                                  rt_params=None):
     """Batch-detect a whole in-memory color clip with MLDetector, time
     axis sharded over the mesh. frames: [T, H, W, 3] uint8 runtime-size;
-    T is truncated to a multiple of the mesh size.
+    the time axis is PADDED (repeat of the last frame, results trimmed)
+    up to a shardable length, so every real frame is processed — clips
+    shorter than the mesh included.
 
     Returns (records, n_frames_used)."""
     from ..log import BaseMetLog
@@ -119,8 +127,9 @@ def detect_frames_temporal_dldet(frames: np.ndarray, cfg, fps: float,
     logger = logger or BaseMetLog()
     mesh = mesh if mesh is not None else build_mesh(axis_name=axis_name)
     s = mesh.devices.size
-    t_total = frames.shape[0] // s * s
-    frames = frames[:t_total]
+    t_real = frames.shape[0]
+    if t_real == 0:
+        raise ValueError("no frames decoded")
     h, w = frames.shape[1:3]
     if mask is not None:
         frames = (frames * (mask if mask.ndim == 3 else mask[..., None])
@@ -128,23 +137,23 @@ def detect_frames_temporal_dldet(frames: np.ndarray, cfg, fps: float,
 
     det = _make_detector(cfg, fps, mask, h, w, logger)
     n = det.n
-    # short clips: pad the time axis (repeat last frame) so every shard
-    # holds the (n-1)-frame halo; padded rows' results are trimmed and
-    # windows are backward-looking, so real rows are unaffected
-    need = max((n - 1) * s, s)
-    if t_total < need:
+    # pad the time axis to a multiple of the mesh size that also gives
+    # every shard its (n-1)-frame halo; windows are backward-looking, so
+    # padded rows never affect real rows and their results are trimmed
+    target = -(-max(t_real, (n - 1) * s, s) // s) * s
+    if target > t_real:
         frames = np.concatenate(
-            [frames, np.repeat(frames[-1:], need - t_total, axis=0)])
+            [frames, np.repeat(frames[-1:], target - t_real, axis=0)])
     stacks_dev, _ = temporal_window_max_color(frames, n, mesh, axis_name)
     batch_out = det.model.forward_batch_device(stacks_dev)
-    results = det._orient_results(stacks_dev, batch_out)[:t_total]
+    results = det._orient_results(stacks_dev, batch_out)[:t_real]
 
     rt = _make_runtime(cfg, fps, h, w, rt_params)
     collector = MeteorCollector(cfg.collector, rt, video_loader=None,
                                 logger=logger)
     _feed_collector_dldet(collector, results, 0, rt)
     collector.clear()
-    return collector.met_exporter.meteor_list, t_total
+    return collector.met_exporter.meteor_list, t_real
 
 
 def detect_frames_temporal_dldet_streaming(block_iter, cfg, fps: float,
@@ -188,10 +197,12 @@ def detect_frames_temporal_dldet_streaming(block_iter, cfg, fps: float,
             chunk = (chunk * (mask if mask.ndim == 3
                               else mask[..., None])).astype(np.uint8)
         n_real = chunk.shape[0]
-        need = max((det.n - 1) * s, s)
-        if n_real < need:  # tail super-block: pad, trim results
+        # tail super-block: pad up to a shardable halo-safe length;
+        # results trimmed (same rule as the whole-clip mode)
+        target = -(-max(n_real, (det.n - 1) * s, s) // s) * s
+        if target > n_real:
             chunk = np.concatenate(
-                [chunk, np.repeat(chunk[-1:], need - n_real, axis=0)])
+                [chunk, np.repeat(chunk[-1:], target - n_real, axis=0)])
         stacks_dev, carry = temporal_window_max_color(
             chunk, det.n, mesh, axis_name, carry=carry)
         batch_out = det.model.forward_batch_device(stacks_dev)
@@ -208,11 +219,8 @@ def detect_frames_temporal_dldet_streaming(block_iter, cfg, fps: float,
             rest = buf[sb:]
             pending = [rest] if rest.size else []
             n_pending = rest.shape[0] if rest.size else 0
-    # trailing frames that fill whole shards still run; the final < s
-    # remainder is dropped (same truncation rule as the whole-clip mode)
-    if n_pending >= s:
-        buf = np.concatenate(pending, axis=0)
-        run_super_block(buf[: n_pending // s * s])
+    if n_pending:  # tail: padded + trimmed inside run_super_block
+        run_super_block(np.concatenate(pending, axis=0))
     if collector is not None:
         collector.clear()
         return collector.met_exporter.meteor_list, t_done

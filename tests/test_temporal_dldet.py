@@ -66,10 +66,23 @@ def test_temporal_dldet_streaming_matches_whole_clip(color_frames):
     """Super-block streaming (device-resident window-tail carry between
     sharded steps) must be bit-equal to the whole-clip sharded run over
     a clip spanning >= 2 super-blocks."""
-    whole = detect_video_temporal(color_frames, None, _cfg(), n_shards=8,
+    clip = color_frames[:101]  # NOT divisible by 8: tail pad path
+    whole = detect_video_temporal(clip, None, _cfg(), n_shards=8,
                                   work_mode="backend")
     streaming = detect_video_temporal(
-        color_frames, None, _cfg(), n_shards=8, work_mode="backend",
-        super_block_sec=40 / FPS)  # 40-frame super-blocks -> 3 of them
+        clip, None, _cfg(), n_shards=8, work_mode="backend",
+        super_block_sec=40 / FPS)  # 40-frame super-blocks + padded tail
     assert ([r.to_dict() for r in streaming.results]
             == [r.to_dict() for r in whole.results])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_temporal_dldet_clip_shorter_than_mesh(color_frames):
+    """A clip with fewer frames than the shard count must still process
+    every frame (pad + trim), matching the sequential path."""
+    clip = color_frames[30:35]  # 5 frames on an 8-device mesh
+    seq = detect_video(clip, None, _cfg(), work_mode="backend")
+    shd = detect_video_temporal(clip, None, _cfg(), n_shards=8,
+                                work_mode="backend")
+    assert ([r.to_dict() for r in shd.results]
+            == [r.to_dict() for r in seq.results])
