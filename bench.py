@@ -221,6 +221,66 @@ def bench_multistream_sharded():
     }))
 
 
+def bench_dldet_sharded():
+    """shard_map multistream for the DL family: S color streams, one
+    MLDetector mesh shard each (parallel/multistream_dldet.py). Same
+    correctness-artifact caveats as bench_multistream_sharded: the
+    virtual CPU mesh validates the mechanism (per-stream window-max
+    carries + batch-sharded YOLO compile and detect), not throughput."""
+    n_streams = int(os.environ.get("BENCH_STREAMS", 8))
+    if os.environ.get("BENCH_SHARDED_REAL") != "1":
+        from metdetpy_tpu.parallel.mesh import force_cpu_devices
+        if not force_cpu_devices(n_streams):
+            sys.stderr.write("[bench] backend already initialized; cannot "
+                             "force a virtual mesh\n")
+    import jax
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.parallel.mesh import build_mesh
+    from metdetpy_tpu.parallel.multistream_dldet import \
+        detect_multi_stream_dldet
+    from metdetpy_tpu.structs import MainDetectCfg, RuntimeParams
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+    from metdetpy_tpu.utils import relative2abs_path
+
+    w = int(os.environ.get("BENCH_SHARDED_W", 320))
+    h = int(os.environ.get("BENCH_SHARDED_H", 180))
+    fps = 25.0
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 6.0))
+    streams = [generate_meteor_video(
+        width=w, height=h, fps=fps, duration_sec=n_seconds,
+        meteors=[SynthMeteor(1.2, 3.0, (int(w * .7), h // 4),
+                             (w // 3, int(h * .6)))],
+        n_stars=40, seed=s, color=True) for s in range(n_streams)]
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.collector.recheck_cfg.switch = False
+    # the shipped synthetic weights detect at ~320-px scene scale with
+    # the single-scale 320x320 forward (see bench_dldet)
+    cfg.detector.cfg.model.multiscale_pred = 0
+    rt = RuntimeParams(fps=fps, exp_frame=1, eq_fps=fps,
+                       eq_int_fps=int(fps), exp_time=1 / fps,
+                       runtime_size=[w, h], raw_size=[w, h],
+                       positive_category_list=["METEOR"])
+    mesh = build_mesh(n_streams, axis_name="stream")
+    t0 = time.time()
+    results = detect_multi_stream_dldet(streams, cfg, rt, BaseMetLog(),
+                                        mesh=mesh, block_frames=25)
+    dt = time.time() - t0
+    n_frames = min(s.shape[0] for s in streams) // 25 * 25
+    hits = sum(1 for recs in results
+               if any(t.category == "METEOR"
+                      for r in recs for t in r.target))
+    print(json.dumps({
+        "metric": f"{n_streams}x{h}p_sharded_dldet_agg_fps",
+        "value": round(n_streams * n_frames / dt, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(n_streams * n_frames / dt / REFERENCE_FPS, 2),
+        "streams_with_meteor": hits,
+        "n_streams": n_streams,
+        "backend": jax.devices()[0].platform,
+    }))
+
+
 def bench_device_worstcase(n_blocks: int = 32):
     """ACTIVE-SKY worst case for the fused M3 step: salt flicker makes
     every frame's binarized output dense, so the Hough vote path's
@@ -672,8 +732,8 @@ def _backend_watchdog():
 
 def main():
     mode = os.environ.get("BENCH_MODE")
-    if mode != "multistream_sharded":
-        # the sharded mode pins a virtual CPU mesh BEFORE backend init and
+    if mode not in ("multistream_sharded", "dldet_sharded"):
+        # the sharded modes pin a virtual CPU mesh BEFORE backend init and
         # must not have the watchdog initialize the axon backend first
         _backend_watchdog()
     if mode == "multistream":
@@ -681,6 +741,9 @@ def main():
         return
     if mode == "multistream_sharded":
         bench_multistream_sharded()
+        return
+    if mode == "dldet_sharded":
+        bench_dldet_sharded()
         return
     if mode == "yolo":
         bench_yolo()
