@@ -13,7 +13,7 @@ from typing import Sequence
 import numpy as np
 
 from ..structs import MDTarget
-from ..utils import frame2ts, get_id2name, pt_drct, pt_len, pt_len_sqr
+from ..utils import frame2ts, get_id2name, pt_drct, pt_len
 
 
 class PointList:
@@ -167,16 +167,20 @@ class MeteorSeries:
     def may_in_series(self, pts, cur_frame: int) -> bool:
         """Nearest-point gating against recent track points
         (reference MetLib/collector.py:357-369; note the threshold compares
-        squared distance against thre2 directly)."""
+        squared distance against thre2 directly). Vectorized: the python
+        point-pair loop measured ~2 ms/call on busy skies — with the
+        decode path fixed, track association was next in line to bind the
+        pipeline. float64 keeps the arithmetic exact for pixel coords."""
         recent = np.where(self.coord_list.frame_num
                           >= cur_frame - self.max_acti_frame)[0]
         first = (len(self.coord_list.frame_num) if len(recent) == 0
                  else recent[0])
-        for tgt_pt in pts:
-            for in_pt in self.coord_list[first:]:
-                if pt_len_sqr(tgt_pt, in_pt) < self.max_acceptable_dist:
-                    return True
-        return False
+        in_pts = self.coord_list.pts[first:].astype(np.float64)
+        tgt = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        if len(in_pts) == 0 or len(tgt) == 0:
+            return False
+        d = tgt[:, None, :] - in_pts[None, :, :]
+        return bool(((d * d).sum(-1) < self.max_acceptable_dist).any())
 
     def get_met_attr(self, decimals: int = 3) -> MDTarget:
         pt1, pt2 = self.sort_range
