@@ -120,6 +120,7 @@ def restore_detector(detector, arrays: dict[str, np.ndarray]) -> None:
     detector._sub_hist = jnp.asarray(arrays["sub_hist"])
     detector._dy_hist = jnp.asarray(arrays["dy_hist"])
     detector.timer = int(arrays["timer"])
+    detector._timer_dev = jnp.asarray(detector.timer, jnp.int32)
     leaves = [arrays[f"ema_{i}"]
               for i in range(len(jax.tree.leaves(detector._ema)))]
     detector._ema = jax.tree.unflatten(jax.tree.structure(detector._ema),

@@ -180,7 +180,12 @@ def _m3_block_step(gray_hist, sub_hist, dy_hist, ema_state, frames, timer0,
                               max_points=max_points, max_peaks=max_peaks)
     packed = _pack(hough.lines, hough.valid, dst_sum, hough.npix,
                    hough.overflow, ema_vals, thr_f, thr)
-    return packed, dst, new_gray, new_sub, new_dy, new_ema
+    # the advanced frame timer is returned as a device carry: passing it
+    # back in as a host np.int32 would cost one tiny h2d upload per block,
+    # which on a high-latency link serializes every dispatch on a full
+    # round trip (measured 73 ms/block on a degraded tunnel day)
+    new_timer = timer0 + jnp.int32(frames.shape[0])
+    return packed, dst, new_gray, new_sub, new_dy, new_ema, new_timer
 
 
 def _pack(lines, valid, dst_sum, npix, overflow, ema_vals, thr_f, thr):
@@ -248,8 +253,11 @@ class LineDetector(BaseDetector):
         self.bi_threshold_float = float(init_thr)
         self.snr = 0.0
 
-        # device-resident carries
+        # device-resident carries (the timer lives on device too -- see
+        # _m3_block_step's new_timer note; self.timer is the host shadow
+        # used for bookkeeping/checkpointing)
         self.timer = 0
+        self._timer_dev = jnp.zeros((), dtype=jnp.int32)
         self._gray_hist = jnp.zeros((self.n - 1, h, w), dtype=jnp.uint8)
         r1, c1, r2, c2 = self.std_roi
         self._sub_hist = jnp.zeros((self.n - 1, r2 - r1, c2 - c1),
@@ -268,6 +276,7 @@ class LineDetector(BaseDetector):
         accumulated tracks."""
         h, w = self.hw
         self.timer = 0
+        self._timer_dev = jnp.zeros((), dtype=jnp.int32)
         self._gray_hist = jnp.zeros((self.n - 1, h, w), dtype=jnp.uint8)
         r1, c1, r2, c2 = self.std_roi
         self._sub_hist = jnp.zeros((self.n - 1, r2 - r1, c2 - c1),
@@ -337,12 +346,10 @@ class M3Detector(LineDetector):
     """Max-minus-mean detector over the sliding window (the default
     detector; reference M3Detector, MetLib/Detector.py:302-448)."""
 
-    def process_block_async(self, block: np.ndarray) -> Any:
-        (packed, dst, self._gray_hist, self._sub_hist, self._dy_hist,
-         self._ema) = _m3_block_step(
-            self._gray_hist, self._sub_hist, self._dy_hist, self._ema,
-            jnp.asarray(block), np.int32(self.timer), n=self.n,
-            roi=self.std_roi, dy_mask=bool(self.dynamic_cfg.dy_mask),
+    def _step_static_kwargs(self) -> dict:
+        return dict(
+            n=self.n, roi=self.std_roi,
+            dy_mask=bool(self.dynamic_cfg.dy_mask),
             mask_area=self.mask_area, std_interval=self.std_interval,
             momentum=self.noise_momentum, warmup_speed=float(self.n),
             adaptive=self.adaptive, coef_a=self.coef_a, coef_b=self.coef_b,
@@ -350,6 +357,13 @@ class M3Detector(LineDetector):
             min_len=int(self.hough_cfg.min_len),
             max_gap=float(self.hough_cfg.max_gap),
             max_points=self.max_points, max_peaks=self.max_peaks)
+
+    def process_block_async(self, block: np.ndarray) -> Any:
+        (packed, dst, self._gray_hist, self._sub_hist, self._dy_hist,
+         self._ema, self._timer_dev) = _m3_block_step(
+            self._gray_hist, self._sub_hist, self._dy_hist, self._ema,
+            jnp.asarray(block), self._timer_dev,
+            **self._step_static_kwargs())
         self.timer += block.shape[0]
         return packed, dst
 
@@ -432,7 +446,8 @@ def _classic_block_step(gray_hist, sub_hist, classic_hist, ema_state, frames,
     dst_sum = jnp.sum(dst.astype(jnp.uint32), axis=(1, 2)) / 255.0
     packed = _pack(hough.lines, hough.valid, dst_sum, hough.npix,
                    hough.overflow, ema_vals, thr_f, thr)
-    return packed, dst, new_gray, new_sub, seq[t_block:], new_ema
+    new_timer = timer0 + jnp.int32(t_block)
+    return packed, dst, new_gray, new_sub, seq[t_block:], new_ema, new_timer
 
 
 class ClassicDetector(LineDetector):
@@ -465,9 +480,9 @@ class ClassicDetector(LineDetector):
 
     def process_block_async(self, block: np.ndarray) -> Any:
         (packed, dst, self._gray_hist, self._sub_hist, self._classic_hist,
-         self._ema) = _classic_block_step(
+         self._ema, self._timer_dev) = _classic_block_step(
             self._gray_hist, self._sub_hist, self._classic_hist, self._ema,
-            jnp.asarray(block), np.int32(self.timer), n=self.n,
+            jnp.asarray(block), self._timer_dev, n=self.n,
             roi=self.std_roi, std_interval=self.std_interval,
             momentum=self.noise_momentum, warmup_speed=float(self.n),
             adaptive=self.adaptive, coef_a=self.coef_a, coef_b=self.coef_b,

@@ -140,11 +140,11 @@ def _fused_pallas(diff: jax.Array, thr: jax.Array) -> jax.Array:
 def _use_pallas() -> bool:
     """Default ON for TPU backends; METDETPY_TPU_USE_PALLAS=0/1 overrides.
 
-    Measured on the v5e dev chip (2026-08-16, 64x540x960 u8, best of 5x10
-    iters): Pallas 4.20 ms/block vs XLA 5.71 ms/block -- 1.36x faster,
-    bit-exact (the round-1 toolchain had it 1.8x SLOWER; the strip-sweep
-    i32 rework + current Mosaic flipped the verdict, so the default
-    flipped with the data). Non-TPU backends always take the XLA path
+    Measured on the v5e dev chip (2026-08-18, 64x540x960 u8, slope-timed
+    chained execution with a forcing fetch -- see bench._chained_slope;
+    the 2026-08-16 "4.20 vs 5.71 ms" numbers were enqueue-rate mirages
+    but pointed the same way): Pallas 1.93 ms/block vs XLA 3.45 ms/block
+    -- 1.79x faster, bit-exact. Non-TPU backends always take the XLA path
     (Mosaic kernels don't lower there)."""
     flag = os.environ.get("METDETPY_TPU_USE_PALLAS")
     if flag is not None:

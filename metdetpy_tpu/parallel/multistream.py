@@ -78,7 +78,7 @@ class MultiStreamM3Detector:
             # stream count each device carries several streams (on a full
             # mesh the local axis has size 1)
             def one(g, su, d, e, f, t):
-                packed, _dst, ng, ns, nd, ne = step(g, su, d, e, f, t)
+                packed, _dst, ng, ns, nd, ne, _nt = step(g, su, d, e, f, t)
                 return packed, ng, ns, nd, ne
             return jax.vmap(one)(gray, sub, dy, ema, frames, timer0)
 
