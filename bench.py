@@ -337,9 +337,14 @@ def bench_device_worstcase(n_blocks: int = 128):
     """ACTIVE-SKY worst case for the fused M3 step: salt flicker makes
     every frame's binarized output dense, so the Hough vote path's
     zero-skip conds (ops/hough.py) cannot fire and every chunk pays the
-    full one-hot-matmul vote. Slope-timed like bench_device_only;
-    occupancy stats (npix vs max_points, overflow rate) are fetched
-    AFTER timing from the final block's output.
+    full one-hot-matmul vote. Frames OVER max_points are dropped by
+    contract (the reference drops >500-raw-line frames) and now skip
+    voting too, so the honest worst case is peak density UNDER the cap:
+    every frame's npix in (small_cap, max_points] -> the dense vote at
+    full padded capacity on every chunk, zero overflow. Slope-timed like
+    bench_device_only; occupancy stats (npix vs max_points, overflow
+    rate -- must be ~0 or the bench is measuring the skip path) are
+    fetched AFTER timing from the final block's output.
 
     Returns (fps, occupancy_dict)."""
     import jax
@@ -359,10 +364,11 @@ def bench_device_worstcase(n_blocks: int = 128):
     h, w = 540, 960
     block_frames = 64
     rng = np.random.default_rng(7)
-    # per-frame salt: ~1500 fresh bright pixels; with a 25-frame window
-    # the rolling max keeps each hot for n frames -> tens of thousands of
-    # binarized pixels per frame, far past max_points (8192): every Hough
-    # chunk votes at full occupancy (overflow raised on every frame)
+    # salt density calibrated so the steady-state binarized count lands
+    # just under max_points (8192): ~48 blobs/frame x ~127 px each in
+    # rolling-max steady state ~= 6.1k px/frame (600 blobs measured
+    # ~76k -> ~127/blob). Past the cap the frame is dropped + skipped;
+    # at 6.1k every chunk pays the full [max_points]-padded dense vote.
     n_avail = 4
     frames = rng.normal(16, 4, (n_avail * block_frames, h, w))
     frames = frames.clip(0, 255).astype(np.uint8)
@@ -370,8 +376,8 @@ def bench_device_worstcase(n_blocks: int = 128):
     # isolated pixels (the first recording's 1500/frame single-pixel
     # salt binarized to ~93 survivors), so the worst case needs blobs
     # that survive the median
-    ys = rng.integers(1, h - 1, (frames.shape[0], 600))
-    xs = rng.integers(1, w - 1, (frames.shape[0], 600))
+    ys = rng.integers(1, h - 1, (frames.shape[0], 48))
+    xs = rng.integers(1, w - 1, (frames.shape[0], 48))
     for t in range(frames.shape[0]):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
