@@ -149,7 +149,9 @@ def _m3_block_step(gray_hist, sub_hist, dy_hist, ema_state, frames, timer0,
     """The fused M3 step over one [T, H, W] block. Returns the packed host
     buffer plus new device carries (and the dst block for visu)."""
     r1, c1, r2, c2 = roi
-    stats, new_gray = windows.window_stats(gray_hist, frames, n, timer0)
+    from ..ops.pallas_kernels import (fused_median_binarize_close,
+                                      window_diff)
+    diff, new_gray = window_diff(gray_hist, frames, n, timer0)
     stds, new_sub = windows.window_noise_std(
         sub_hist, frames[:, r1:r2, c1:c2], n, timer0)
     thr, thr_f, ema_vals, new_ema = _ema_threshold_scan(
@@ -157,8 +159,7 @@ def _m3_block_step(gray_hist, sub_hist, dy_hist, ema_state, frames, timer0,
         momentum=momentum, warmup_speed=warmup_speed, adaptive=adaptive,
         coef_a=coef_a, coef_b=coef_b)
 
-    from ..ops.pallas_kernels import fused_median_binarize_close
-    closed = fused_median_binarize_close(stats.diff, thr)
+    closed = fused_median_binarize_close(diff, thr)
     new_dy = dy_hist
     dst = closed
     if dy_mask:
@@ -413,7 +414,9 @@ def _classic_block_step(gray_hist, sub_hist, classic_hist, ema_state, frames,
     MetLib/Detector.py:245-296): |f2-f3| -> binarize -> dilate -> invert ->
     AND with f0/f1 -> |.| -> binarize -> dilate -> Hough."""
     r1, c1, r2, c2 = roi
-    _, new_gray = windows.window_stats(gray_hist, frames, n, timer0)
+    # the gray window's stats are unused by the 4-frame algorithm; only
+    # the history carry advances (XLA DCE'd the stats anyway)
+    new_gray = jnp.concatenate([gray_hist, frames], axis=0)[frames.shape[0]:]
     stds, new_sub = windows.window_noise_std(
         sub_hist, frames[:, r1:r2, c1:c2], n, timer0)
     thr, thr_f, ema_vals, new_ema = _ema_threshold_scan(

@@ -15,10 +15,14 @@ parity (same segments up to NMS/collector merging -- see SURVEY.md §7
    (slow on TPU) into systolic-array work.
 2. **Peak find** -- 3x3 local maxima over the (theta, rho) accumulator above
    the vote threshold; top-K peaks kept.
-3. **Segment walk** -- for each peak line, the binary image is sampled at
-   unit L-inf steps along the line (matching OpenCV's Bresenham-style walk)
-   and the longest run whose internal gaps are <= max_gap is extracted with
-   vectorized prefix scans (no sequential walk).
+3. **Segment walk** -- for each peak line, the binary image (dilated 1-D
+   perpendicular to the walk direction) is sampled at unit L-inf steps
+   along the line (matching OpenCV's Bresenham-style walk, with the
+   lateral dilation providing tolerance to the quantized peak line sitting
+   off the pixel raster) and the longest run whose internal gaps are <=
+   max_gap is extracted with vectorized prefix scans (no sequential walk).
+   The walk is K-tiered: chunks whose frames all have <= 16 peaks take a
+   4x narrower gather.
 
 The reference drops frames with >500 raw lines (NUM_LINES_TOOMUCH,
 MetLib/Detector.py:30, :358-360); the analog here is the ``overflow`` flag
@@ -170,16 +174,28 @@ def _find_peaks(votes: jax.Array, threshold: int,
     return idx // n_rho, idx % n_rho, ok
 
 
-def _extract_segments(dst01: jax.Array, theta_idx: jax.Array,
+def _extract_segments(dil2: jax.Array, theta_idx: jax.Array,
                       rho_idx: jax.Array, peak_ok: jax.Array,
                       rho_offset: int, min_len: int, max_gap: jax.Array,
                       n_steps: int) -> tuple[jax.Array, jax.Array]:
     """Walk each peak line and extract the longest gap-tolerant run.
 
     All K peaks are processed at once; the "walk" is a gather of [K, L]
-    samples followed by prefix-scan run analysis.
+    samples followed by prefix-scan run analysis. ``dil2`` is [2, H, W]:
+    the binary image dilated vertically (3x1) and horizontally (1x3).
+    Each peak gathers ONCE from the variant dilated PERPENDICULAR to its
+    walk direction (x-major lines read the vertical dilation and vice
+    versa), via a per-peak base offset into the stacked flat image. This
+    gives the lateral off-raster tolerance the quantized peak line needs
+    (it sits up to ~0.7 px from the true pixel raster) with no
+    longitudinal smear -- a full 3x3 dilation bridged gaps and inflated
+    noise blobs past min_len (measured: spurious short METEOR tracks on
+    the high-sensitivity preset). The previous 4-neighbor bilinear
+    sampling achieved tolerance with 4 gathers; on v5e the gather IS the
+    cost of this stage (profiled 22.7 ms vs 8.8 ms vote per 8 dense
+    frames), so two 1-D dilate passes (cheap VPU) + 1 gather win ~4x.
     """
-    h, w = dst01.shape
+    _, h, w = dil2.shape
     theta = theta_idx.astype(jnp.float32) * jnp.float32(np.pi / 180)
     c, s = jnp.cos(theta), jnp.sin(theta)           # [K]
     rho = rho_idx.astype(jnp.float32) - rho_offset  # [K]
@@ -196,24 +212,17 @@ def _extract_segments(dst01: jax.Array, theta_idx: jax.Array,
     t = jnp.arange(n_steps, dtype=jnp.float32) - n_steps / 2.0   # [L]
     x = px[:, None] + t[None, :] * vx[:, None]
     y = py[:, None] + t[None, :] * vy[:, None]
-    # Sample all four bilinear neighbors and treat the step as active if any
-    # touching pixel is active. A single-round sample drifts off the raster
-    # for near-diagonal lines (the quantized peak line is a parallel copy up
-    # to ~0.7 px away), which would shatter long diagonals into fragments.
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx_, fy_ = x - x0, y - y0
-    flat_img = dst01.reshape(-1)
-    p = jnp.zeros(x.shape, dtype=jnp.int32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            wgt = (fx_ if dx else 1 - fx_) * (fy_ if dy else 1 - fy_)
-            xi = x0.astype(jnp.int32) + dx
-            yi = y0.astype(jnp.int32) + dy
-            inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-            flat = jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
-            pix = jnp.take(flat_img, flat.reshape(-1)).reshape(flat.shape)
-            p = p | (pix.astype(jnp.int32) * (inb & (wgt > 0.05)))
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    # x-major walk (|vx| == 1) rasters along x, so the quantization offset
+    # is in y -> read the vertically-dilated plane (index 0); y-major reads
+    # the horizontal one (index 1)
+    plane = jnp.where(jnp.abs(s) >= jnp.abs(c), 0, h * w)  # [K]
+    flat = (plane[:, None] + jnp.clip(yi, 0, h - 1) * w
+            + jnp.clip(xi, 0, w - 1))
+    pix = jnp.take(dil2.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    p = pix.astype(jnp.int32) * inb
     p = p * peak_ok[:, None].astype(jnp.int32)
 
     steps = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
@@ -286,13 +295,7 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
         xs = (idx % w).astype(jnp.float32)
         return _vote(xs, ys, valid, n_theta, n_rho, rho_offset, theta_chunk)
 
-    def peaks_and_extract(img01, votes, npix, gap):
-        th_i, rh_i, ok = _find_peaks(votes, threshold, max_peaks)
-        overflow = npix > max_points
-        ok = ok & jnp.logical_not(overflow) & (npix > 0)
-        lines, line_ok = _extract_segments(img01, th_i, rh_i, ok, rho_offset,
-                                           min_len, gap, n_steps)
-        return lines, line_ok, overflow
+    small_peaks = min(16, max_peaks)
 
     # frames run in vmapped sub-batches inside a sequential map: the vmap
     # amortizes per-iteration overhead, and the sparse/dense vote dispatch
@@ -335,19 +338,53 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
             lambda _: pvary_like(
                 jnp.zeros((fc, n_theta, n_rho), jnp.int32), flats),
             compute_votes, None)
+        overflow = npix > max_points
+
         # skip peak-find + the gather-heavy segment walk for chunks where
         # no accumulator bin clears the threshold (most frames of a night
         # sky) -- scalar predicate keeps lax.cond a real branch
         def no_peaks(_):
             return (pvary_like(jnp.zeros((fc, max_peaks, 4), jnp.int32),
                                flats),
-                    pvary_like(jnp.zeros((fc, max_peaks), bool), flats),
-                    npix > max_points)
+                    pvary_like(jnp.zeros((fc, max_peaks), bool), flats))
 
         def with_peaks(_):
-            return jax.vmap(peaks_and_extract)(imgs, votes, npix, gaps)
+            th_i, rh_i, pok = jax.vmap(
+                lambda v: _find_peaks(v, threshold, max_peaks))(votes)
+            pok = (pok & jnp.logical_not(overflow)[:, None]
+                   & (npix > 0)[:, None])
+            # directional 1-D dilations feed the single-gather walk
+            pv = jnp.pad(imgs, ((0, 0), (1, 1), (0, 0)))
+            dil_v = jnp.maximum(jnp.maximum(pv[:, :-2], pv[:, 1:-1]),
+                                pv[:, 2:])
+            ph = jnp.pad(imgs, ((0, 0), (0, 0), (1, 1)))
+            dil_h = jnp.maximum(jnp.maximum(ph[:, :, :-2], ph[:, :, 1:-1]),
+                                ph[:, :, 2:])
+            dil2 = jnp.stack([dil_v, dil_h], axis=1)  # [fc, 2, h, w]
 
-        lines, line_ok, overflow = lax.cond(
+            def extract_k(k: int):
+                # peaks are compacted (first-k valid), so slicing to k
+                # keeps ALL valid peaks whenever the count fits
+                lines_k, ok_k = jax.vmap(
+                    lambda im, t, r, o, g: _extract_segments(
+                        im, t, r, o, rho_offset, min_len, g, n_steps))(
+                    dil2, th_i[:, :k], rh_i[:, :k], pok[:, :k], gaps)
+                pad_n = max_peaks - k
+                if pad_n:
+                    lines_k = jnp.pad(lines_k, ((0, 0), (0, pad_n), (0, 0)))
+                    ok_k = jnp.pad(ok_k, ((0, 0), (0, pad_n)))
+                return lines_k, ok_k
+
+            # K-tier the walk: real skies rarely yield >16 peaks after the
+            # 3x3 NMS, and the walk's gather cost is linear in K
+            if max_peaks > small_peaks:
+                kmax = jnp.max(jnp.sum(pok.astype(jnp.int32), axis=1))
+                return lax.cond(kmax <= small_peaks,
+                                lambda _: extract_k(small_peaks),
+                                lambda _: extract_k(max_peaks), None)
+            return extract_k(max_peaks)
+
+        lines, line_ok = lax.cond(
             jnp.max(votes) > threshold, with_peaks, no_peaks, None)
         return lines, line_ok, npix, overflow
 

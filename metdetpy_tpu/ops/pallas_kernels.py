@@ -22,6 +22,7 @@ median uses replicate borders; dilate treats out-of-image as 0 and erode as
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -169,3 +170,114 @@ def fused_median_binarize_close(diff: jax.Array,
     binary = filters.binary_threshold(filters.median3x3(diff),
                                       thr[:, None, None])
     return filters.close3x3(binary)
+
+
+# -- fused temporal window max/mean/diff ------------------------------------
+
+WD_VMEM_BUDGET = 10 * 1024 * 1024  # working-set cap for the window kernel
+
+
+def _wd_kernel(len_ref, seq_ref, out_ref, *, n: int, t_block: int):
+    """Per row-band: trailing-window max & integer mean over time, diff out.
+
+    seq_ref: [n_total, S, W] uint8 (n-1 history frames + T new frames);
+    out_ref: [T, S, W] uint8 diff = win_max - (win_sum // length);
+    len_ref: [T, 1] int32 warmup-aware window lengths (min(n, timer)).
+
+    Window max uses the van Herk-Gil-Werman two-sweep (per-segment suffix
+    then prefix maxima, segments of exactly n) -- ~2 vector ops per input
+    frame instead of the n-tap reduction; window sum is a running cumsum
+    plus one subtract per output.
+    """
+    n_total = t_block + n - 1
+    x = seq_ref[...]
+
+    def xi(i):
+        return x[i].astype(jnp.int32)
+
+    # segment suffix/prefix maxima (segment length == n, last may be short)
+    sfx: list = [None] * n_total
+    pfx: list = [None] * n_total
+    for s0 in range(0, n_total, n):
+        s1 = min(s0 + n, n_total)
+        acc = xi(s1 - 1)
+        sfx[s1 - 1] = acc
+        for i in range(s1 - 2, s0 - 1, -1):
+            acc = jnp.maximum(acc, xi(i))
+            sfx[i] = acc
+        acc = xi(s0)
+        pfx[s0] = acc
+        for i in range(s0 + 1, s1):
+            acc = jnp.maximum(acc, xi(i))
+            pfx[i] = acc
+
+    # running cumsum over time (uint8 sums of <= n frames fit i32 easily)
+    cs: list = [None] * n_total
+    acc = xi(0)
+    cs[0] = acc
+    for i in range(1, n_total):
+        acc = acc + xi(i)
+        cs[i] = acc
+
+    for t in range(t_block):
+        win_max = jnp.maximum(sfx[t], pfx[t + n - 1])
+        win_sum = cs[t + n - 1] - (cs[t - 1] if t > 0 else 0)
+        ln = len_ref[t, 0].astype(jnp.float32)
+        # f32 floor-division is exact here: quotient <= 255, so the true
+        # quotient's distance to the nearest other integer (>= 1/length)
+        # dwarfs the half-ulp rounding error of a correctly-rounded divide
+        mean = jnp.floor(win_sum.astype(jnp.float32) / ln).astype(jnp.int32)
+        out_ref[t] = (win_max - mean).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _wd_pallas(seq: jax.Array, lengths: jax.Array, n: int) -> jax.Array:
+    n_total, h, w = seq.shape
+    t_block = n_total - (n - 1)
+    # pick the largest band height whose i32 working set fits the budget
+    # (x + suffix/prefix maxima + cumsum live at once: ~13 B per elem)
+    s_rows = 8
+    while s_rows > 1 and 13 * n_total * s_rows * w > WD_VMEM_BUDGET:
+        s_rows //= 2
+    h_pad = _round_up(h, s_rows)
+    if h_pad != h:
+        seq = jnp.pad(seq, ((0, 0), (0, h_pad - h), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_wd_kernel, n=n, t_block=t_block),
+        out_shape=jax.ShapeDtypeStruct((t_block, h_pad, w), jnp.uint8),
+        grid=(h_pad // s_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [T, 1] lengths
+            pl.BlockSpec((n_total, s_rows, w), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((t_block, s_rows, w), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+    )(lengths.reshape(t_block, 1).astype(jnp.int32), seq)
+    return out[:, :h, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def window_diff(history: jax.Array, frames: jax.Array, n: int,
+                timer0: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Trailing-window (max - integer mean) over a block, carrying history.
+
+    The M3 detector's window-stats stage reduced to exactly what its
+    downstream consumes (reference M3Detector.detect diff, MetLib/
+    Detector.py:324-341): one fused Pallas pass on TPU (profiled 3.9 ms ->
+    sub-ms per 64x540x960 block vs the XLA reduce_window graph, which
+    materializes u32 casts and rolling sums in HBM); XLA fallback
+    elsewhere. Returns (diff [T, H, W] u8, new_history [n-1, H, W] u8).
+    """
+    t_block = frames.shape[0]
+    if n >= 2 and _use_pallas():
+        seq = jnp.concatenate([history, frames], axis=0)
+        timers = timer0 + 1 + jnp.arange(t_block, dtype=jnp.int32)
+        lengths = jnp.minimum(timers, n)
+        return _wd_pallas(seq, lengths, n), seq[t_block:]
+    from . import windows
+    stats, new_hist = windows.window_stats(history, frames, n, timer0)
+    return stats.diff, new_hist

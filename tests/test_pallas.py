@@ -50,3 +50,67 @@ def test_fallback_path_matches_cv2(rng, monkeypatch):
     got = pallas_kernels.fused_median_binarize_close(jnp.asarray(diff),
                                                      jnp.asarray(thr))
     np.testing.assert_array_equal(np.asarray(got), _reference(diff, thr))
+
+
+def _window_diff_ref(history, frames, n, timer0):
+    from metdetpy_tpu.ops import windows
+    import jax.numpy as jnp
+    stats, new_hist = windows.window_stats(
+        jnp.asarray(history), jnp.asarray(frames), n, jnp.int32(timer0))
+    return np.asarray(stats.diff), np.asarray(new_hist)
+
+
+@pytest.mark.parametrize("n,t_block,timer0,h", [
+    (5, 8, 0, 13),      # warmup from stream start, padded band
+    (5, 8, 40, 16),     # steady state
+    (7, 3, 2, 8),       # mid-warmup, T < n
+    (2, 6, 0, 9),       # minimal window
+])
+def test_window_diff_pallas_interpret_matches_xla(rng, n, t_block, timer0, h):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from metdetpy_tpu.ops import pallas_kernels as pk
+
+    w = 256
+    history = rng.integers(0, 256, (n - 1, h, w), dtype=np.uint8)
+    if timer0 == 0:
+        history[:] = 0  # stream start: zero-initialized ring
+    frames = rng.integers(0, 256, (t_block, h, w), dtype=np.uint8)
+    ref_diff, ref_hist = _window_diff_ref(history, frames, n, timer0)
+
+    seq = jnp.concatenate([jnp.asarray(history), jnp.asarray(frames)], 0)
+    timers = timer0 + 1 + jnp.arange(t_block, dtype=jnp.int32)
+    lengths = jnp.minimum(timers, n)
+    n_total = t_block + n - 1
+    s_rows = 8
+    h_pad = ((h + s_rows - 1) // s_rows) * s_rows
+    if h_pad != h:
+        seq = jnp.pad(seq, ((0, 0), (0, h_pad - h), (0, 0)))
+    import functools
+    got = pl.pallas_call(
+        functools.partial(pk._wd_kernel, n=n, t_block=t_block),
+        out_shape=jax.ShapeDtypeStruct((t_block, h_pad, w), jnp.uint8),
+        grid=(h_pad // s_rows,),
+        in_specs=[
+            pl.BlockSpec(),
+            pl.BlockSpec((n_total, s_rows, w), lambda b: (0, b, 0)),
+        ],
+        out_specs=pl.BlockSpec((t_block, s_rows, w), lambda b: (0, b, 0)),
+        interpret=True,
+    )(lengths.reshape(t_block, 1), seq)[:, :h, :]
+    np.testing.assert_array_equal(np.asarray(got), ref_diff)
+
+
+def test_window_diff_fallback_matches_window_stats(rng, monkeypatch):
+    monkeypatch.setenv("METDETPY_TPU_USE_PALLAS", "0")
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops import pallas_kernels as pk
+    n, t_block, h, w = 6, 9, 17, 64
+    history = rng.integers(0, 256, (n - 1, h, w), dtype=np.uint8)
+    frames = rng.integers(0, 256, (t_block, h, w), dtype=np.uint8)
+    ref_diff, ref_hist = _window_diff_ref(history, frames, n, 30)
+    diff, hist = pk.window_diff(jnp.asarray(history), jnp.asarray(frames),
+                                n, jnp.int32(30))
+    np.testing.assert_array_equal(np.asarray(diff), ref_diff)
+    np.testing.assert_array_equal(np.asarray(hist), ref_hist)
