@@ -15,14 +15,15 @@ parity (same segments up to NMS/collector merging -- see SURVEY.md §7
    (slow on TPU) into systolic-array work.
 2. **Peak find** -- 3x3 local maxima over the (theta, rho) accumulator above
    the vote threshold; top-K peaks kept.
-3. **Segment walk** -- for each peak line, the binary image (dilated 1-D
-   perpendicular to the walk direction) is sampled at unit L-inf steps
-   along the line (matching OpenCV's Bresenham-style walk, with the
-   lateral dilation providing tolerance to the quantized peak line sitting
-   off the pixel raster) and the longest run whose internal gaps are <=
-   max_gap is extracted with vectorized prefix scans (no sequential walk).
-   The walk is K-tiered: chunks whose frames all have <= 16 peaks take a
-   4x narrower gather.
+3. **Segment walk** -- for each peak line, the binary image is sampled at
+   unit L-inf steps along the line (matching OpenCV's Bresenham-style
+   walk); a step is active if any bilinear neighbor of the fractional
+   sample point is active with weight > 0.05 (tolerance to the quantized
+   peak line sitting off the pixel raster), fetched in ONE gather from a
+   bit-packed corner plane. The longest run whose internal gaps are <=
+   max_gap is extracted with vectorized prefix scans (no sequential
+   walk). The walk is K-tiered: chunks whose frames all have <= 16 peaks
+   take a 4x narrower gather.
 
 The reference drops frames with >500 raw lines (NUM_LINES_TOOMUCH,
 MetLib/Detector.py:30, :358-360); the analog here is the ``overflow`` flag
@@ -174,28 +175,42 @@ def _find_peaks(votes: jax.Array, threshold: int,
     return idx // n_rho, idx % n_rho, ok
 
 
-def _extract_segments(dil2: jax.Array, theta_idx: jax.Array,
+def pack_corners(img01: jax.Array) -> jax.Array:
+    """Bit-pack each unit cell's 4 corner pixels into one uint8 plane.
+
+    ``pk[y0+1, x0+1] = img[y0,x0] | img[y0,x0+1]<<1 | img[y0+1,x0]<<2 |
+    img[y0+1,x0+1]<<3`` with out-of-frame corners 0 (zero padding), so a
+    single gather at (floor(y)+1, floor(x)+1) recovers all four bilinear
+    neighbors of a fractional sample point. img01: [..., H, W] 0/1 uint8;
+    returns [..., H+1, W+1] uint8.
+    """
+    ip = jnp.pad(img01, [(0, 0)] * (img01.ndim - 2) + [(1, 1), (1, 1)])
+    return (ip[..., :-1, :-1] + 2 * ip[..., :-1, 1:]
+            + 4 * ip[..., 1:, :-1] + 8 * ip[..., 1:, 1:])
+
+
+def _extract_segments(pk: jax.Array, theta_idx: jax.Array,
                       rho_idx: jax.Array, peak_ok: jax.Array,
                       rho_offset: int, min_len: int, max_gap: jax.Array,
                       n_steps: int) -> tuple[jax.Array, jax.Array]:
     """Walk each peak line and extract the longest gap-tolerant run.
 
     All K peaks are processed at once; the "walk" is a gather of [K, L]
-    samples followed by prefix-scan run analysis. ``dil2`` is [2, H, W]:
-    the binary image dilated vertically (3x1) and horizontally (1x3).
-    Each peak gathers ONCE from the variant dilated PERPENDICULAR to its
-    walk direction (x-major lines read the vertical dilation and vice
-    versa), via a per-peak base offset into the stacked flat image. This
-    gives the lateral off-raster tolerance the quantized peak line needs
-    (it sits up to ~0.7 px from the true pixel raster) with no
-    longitudinal smear -- a full 3x3 dilation bridged gaps and inflated
-    noise blobs past min_len (measured: spurious short METEOR tracks on
-    the high-sensitivity preset). The previous 4-neighbor bilinear
-    sampling achieved tolerance with 4 gathers; on v5e the gather IS the
-    cost of this stage (profiled 22.7 ms vs 8.8 ms vote per 8 dense
-    frames), so two 1-D dilate passes (cheap VPU) + 1 gather win ~4x.
+    samples followed by prefix-scan run analysis. A step is active if any
+    of the four bilinear neighbors of the exact fractional sample point
+    is active with interpolation weight > 0.05 -- the quantized peak line
+    sits up to ~0.7 px off the true raster, and a single rounded sample
+    would shatter long diagonals into fragments, while wider corridors
+    (3-tap perpendicular dilation, full 3x3 dilation) triple noise
+    acceptance (measured: synthetic-clip precision 1.0 -> 0.33). On v5e
+    the gather IS the cost of this stage (profiled 22.7 ms vs 8.8 ms
+    vote per 8 dense frames), so the four neighbors arrive in ONE gather
+    from the bit-packed corner plane ``pk`` (see ``pack_corners``) and
+    the per-step weight masks are cheap VPU math -- ~4x over the
+    4-gather form at bit-identical output.
     """
-    _, h, w = dil2.shape
+    h2, w2 = pk.shape
+    h, w = h2 - 1, w2 - 1
     theta = theta_idx.astype(jnp.float32) * jnp.float32(np.pi / 180)
     c, s = jnp.cos(theta), jnp.sin(theta)           # [K]
     rho = rho_idx.astype(jnp.float32) - rho_offset  # [K]
@@ -212,17 +227,20 @@ def _extract_segments(dil2: jax.Array, theta_idx: jax.Array,
     t = jnp.arange(n_steps, dtype=jnp.float32) - n_steps / 2.0   # [L]
     x = px[:, None] + t[None, :] * vx[:, None]
     y = py[:, None] + t[None, :] * vy[:, None]
-    xi = jnp.round(x).astype(jnp.int32)
-    yi = jnp.round(y).astype(jnp.int32)
-    inb = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    # x-major walk (|vx| == 1) rasters along x, so the quantization offset
-    # is in y -> read the vertically-dilated plane (index 0); y-major reads
-    # the horizontal one (index 1)
-    plane = jnp.where(jnp.abs(s) >= jnp.abs(c), 0, h * w)  # [K]
-    flat = (plane[:, None] + jnp.clip(yi, 0, h - 1) * w
-            + jnp.clip(xi, 0, w - 1))
-    pix = jnp.take(dil2.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
-    p = pix.astype(jnp.int32) * inb
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx_, fy_ = x - x0, y - y0
+    xi = x0.astype(jnp.int32) + 1
+    yi = y0.astype(jnp.int32) + 1
+    inp = (xi >= 0) & (xi <= w) & (yi >= 0) & (yi <= h)
+    flat = jnp.clip(yi, 0, h) * w2 + jnp.clip(xi, 0, w)
+    v = jnp.take(pk.reshape(-1), flat.reshape(-1)).reshape(flat.shape)
+    v = (v * inp).astype(jnp.int32)
+    # corner weights (bilinear); out-of-frame corners are already 0 in pk
+    p = jnp.zeros(x.shape, dtype=jnp.int32)
+    for bit, (dx, dy) in enumerate(((0, 0), (1, 0), (0, 1), (1, 1))):
+        wgt = (fx_ if dx else 1 - fx_) * (fy_ if dy else 1 - fy_)
+        p = p | (((v >> bit) & 1) * (wgt > 0.05))
     p = p * peak_ok[:, None].astype(jnp.int32)
 
     steps = jnp.arange(n_steps, dtype=jnp.int32)[None, :]
@@ -288,12 +306,22 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
 
     small_cap = min(1024, max_points)
 
-    def frame_votes(flat, cap: int):
-        idx, valid = _compact_indices(flat, cap)
+    from .pallas_kernels import _use_pallas, hough_vote_pallas
+    vote_pallas = _use_pallas()
+
+    def batch_votes(flats, cap: int):
+        """Compact + vote a [fc, H*W] chunk at point capacity ``cap``."""
+        idx, valid = jax.vmap(lambda f: _compact_indices(f, cap))(flats)
         idx = jnp.where(valid, idx, 0)
         ys = (idx // w).astype(jnp.float32)
         xs = (idx % w).astype(jnp.float32)
-        return _vote(xs, ys, valid, n_theta, n_rho, rho_offset, theta_chunk)
+        if vote_pallas:
+            # VMEM-resident one-hots (no HBM materialization); bit-equal
+            # to the XLA path (pinned by tests/test_pallas.py)
+            return hough_vote_pallas(xs, ys, valid, n_rho, rho_offset)
+        return jax.vmap(lambda x_, y_, v_: _vote(
+            x_, y_, v_, n_theta, n_rho, rho_offset, theta_chunk))(
+            xs, ys, valid)
 
     small_peaks = min(16, max_peaks)
 
@@ -324,12 +352,10 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
             if max_points > small_cap:
                 return lax.cond(
                     chunk_max <= small_cap,
-                    lambda __: jax.vmap(lambda f: frame_votes(f, small_cap))(
-                        flats),
-                    lambda __: jax.vmap(lambda f: frame_votes(f, max_points))(
-                        flats),
+                    lambda __: batch_votes(flats, small_cap),
+                    lambda __: batch_votes(flats, max_points),
                     None)
-            return jax.vmap(lambda f: frame_votes(f, max_points))(flats)
+            return batch_votes(flats, max_points)
 
         # fully-empty chunks (common after thresholding a quiet sky) skip
         # compaction + voting entirely: no active pixel -> no vote anywhere
@@ -353,14 +379,8 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
                 lambda v: _find_peaks(v, threshold, max_peaks))(votes)
             pok = (pok & jnp.logical_not(overflow)[:, None]
                    & (npix > 0)[:, None])
-            # directional 1-D dilations feed the single-gather walk
-            pv = jnp.pad(imgs, ((0, 0), (1, 1), (0, 0)))
-            dil_v = jnp.maximum(jnp.maximum(pv[:, :-2], pv[:, 1:-1]),
-                                pv[:, 2:])
-            ph = jnp.pad(imgs, ((0, 0), (0, 0), (1, 1)))
-            dil_h = jnp.maximum(jnp.maximum(ph[:, :, :-2], ph[:, :, 1:-1]),
-                                ph[:, :, 2:])
-            dil2 = jnp.stack([dil_v, dil_h], axis=1)  # [fc, 2, h, w]
+            # bit-packed corner plane feeds the single-gather bilinear walk
+            pk = pack_corners(imgs)                   # [fc, h+1, w+1]
 
             def extract_k(k: int):
                 # peaks are compacted (first-k valid), so slicing to k
@@ -368,7 +388,7 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
                 lines_k, ok_k = jax.vmap(
                     lambda im, t, r, o, g: _extract_segments(
                         im, t, r, o, rho_offset, min_len, g, n_steps))(
-                    dil2, th_i[:, :k], rh_i[:, :k], pok[:, :k], gaps)
+                    pk, th_i[:, :k], rh_i[:, :k], pok[:, :k], gaps)
                 pad_n = max_peaks - k
                 if pad_n:
                     lines_k = jnp.pad(lines_k, ((0, 0), (0, pad_n), (0, 0)))

@@ -27,6 +27,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -259,6 +260,92 @@ def _wd_pallas(seq: jax.Array, lengths: jax.Array, n: int) -> jax.Array:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# -- Hough vote: VMEM-resident one-hot matmuls -------------------------------
+
+VOTE_THETA_CHUNK = 4  # thetas per program (bounds per-program VMEM liveness)
+
+
+def _vote_kernel(cos_ref, sin_ref, xs_ref, ys_ref, v_ref, out_ref, *,
+                 c_chunk: int, n_hi: int, n_rho: int, rho_offset: int):
+    """One (frame, theta-chunk) program of the Hough vote.
+
+    Same hi/lo one-hot-matmul decomposition as hough._vote (rho split into
+    hi = rho // 128, lo = rho % 128; votes[hi, lo] = onehot_hi @
+    onehot_lo), but the one-hots are GENERATED in VMEM and consumed by the
+    MXU without ever touching HBM. The XLA form materializes ~450 MB of
+    one-hot operands per dense 8192-point frame (its actual cost at HBM
+    bandwidth); here per-frame HBM traffic is the point list in (~100 KB)
+    and the votes out (~2 MB). Both one-hots are generated LANE-major over
+    the point axis ([n_hi, N] and [LANE, N]) and the dot contracts the
+    lane axis of both operands -- no [N, 1] layouts (a [N, 1] f32 vector
+    pads to full 128-lane tiles, a 128x VMEM blowup). bf16 operands with
+    f32 accumulation are exact: products are 0/1 and row sums <= N <<
+    2^24.
+    """
+    n = xs_ref.shape[-1]
+    c0 = pl.program_id(1) * c_chunk
+    x = xs_ref[0]                                    # [1, N] f32
+    y = ys_ref[0]
+    vld = v_ref[0].astype(jnp.bfloat16)              # [1, N]
+    for j in range(c_chunk):                          # static unroll
+        cs = cos_ref[c0 + j, 0]
+        sn = sin_ref[c0 + j, 0]
+        rho = cs * x + sn * y + jnp.float32(rho_offset)
+        q = jnp.clip(jnp.round(rho).astype(jnp.int32), 0, n_rho - 1)
+        hi, lo = q // 128, q % 128                    # [1, N]
+        ohh = (jax.lax.broadcasted_iota(jnp.int32, (n_hi, n), 0)
+               == hi).astype(jnp.bfloat16) * vld
+        ohl = (jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+               == lo).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            ohh, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [n_hi, 128]
+        out_ref[0, j] = acc.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rho", "rho_offset",
+                                              "interpret"))
+def hough_vote_pallas(xs: jax.Array, ys: jax.Array, valid: jax.Array,
+                      n_rho: int, rho_offset: int,
+                      interpret: bool = False) -> jax.Array:
+    """Batched Hough vote: [T, N] compacted points -> [T, 180, n_rho] i32.
+
+    Bit-identical to the XLA hi/lo one-hot path (hough._vote) -- pinned by
+    tests/test_pallas.py -- at ~1/200th the HBM traffic. The cos/sin
+    tables are computed with the same jnp ops as hough._vote and fed via
+    SMEM so both paths quantize rho identically.
+    """
+    t, n = xs.shape
+    n_theta, c_chunk = 180, VOTE_THETA_CHUNK
+    n_hi = n_rho // 128
+    thetas = (jnp.arange(n_theta, dtype=jnp.float32)
+              * jnp.float32(np.pi / 180))
+    cos_t = jnp.cos(thetas).reshape(n_theta, 1)
+    sin_t = jnp.sin(thetas).reshape(n_theta, 1)
+    votes4 = pl.pallas_call(
+        functools.partial(_vote_kernel, c_chunk=c_chunk, n_hi=n_hi,
+                          n_rho=n_rho, rho_offset=rho_offset),
+        out_shape=jax.ShapeDtypeStruct((t, n_theta, n_hi, 128), jnp.int32),
+        grid=(t, n_theta // c_chunk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cos table [180, 1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # sin table [180, 1]
+            pl.BlockSpec((1, 1, n), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda i, c: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, c_chunk, n_hi, 128),
+                               lambda i, c: (i, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(cos_t, sin_t, xs[:, None], ys[:, None],
+      valid.astype(jnp.float32)[:, None])
+    return votes4.reshape(t, n_theta, n_hi * 128)
 
 
 def window_diff(history: jax.Array, frames: jax.Array, n: int,

@@ -114,3 +114,34 @@ def test_window_diff_fallback_matches_window_stats(rng, monkeypatch):
                                 n, jnp.int32(30))
     np.testing.assert_array_equal(np.asarray(diff), ref_diff)
     np.testing.assert_array_equal(np.asarray(hist), ref_hist)
+
+
+def test_hough_vote_pallas_interpret_matches_xla(rng):
+    """The VMEM-resident vote kernel is bit-equal to the XLA hi/lo
+    one-hot path for random compacted point lists (incl. invalid tail)."""
+    import jax
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops import hough
+    from metdetpy_tpu.ops import pallas_kernels as pk
+
+    h, w = 96, 160
+    n_rho = hough._round_up(2 * (w + h) + 1, 128)
+    rho_offset = w + h
+    t, n = 3, 256
+    xs = rng.integers(0, w, (t, n)).astype(np.float32)
+    ys = rng.integers(0, h, (t, n)).astype(np.float32)
+    counts = [n, n // 3, 0]  # full, partial, empty point lists
+    valid = np.zeros((t, n), bool)
+    for i, c in enumerate(counts):
+        valid[i, :c] = True
+
+    ref = jax.vmap(lambda x_, y_, v_: hough._vote(
+        x_, y_, v_, 180, n_rho, rho_offset, 30))(
+        jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(valid))
+    got = pk.hough_vote_pallas(jnp.asarray(xs), jnp.asarray(ys),
+                               jnp.asarray(valid), n_rho, rho_offset,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # sanity: each frame's total votes == 180 * n_valid_points
+    tot = np.asarray(got).sum(axis=(1, 2))
+    np.testing.assert_array_equal(tot, [180 * c for c in counts])
