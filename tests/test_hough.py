@@ -129,3 +129,39 @@ def test_overflow_flag():
                              max_points=1024)
     assert bool(res.overflow[0])
     assert not np.asarray(res.valid).any()
+
+
+def test_extract_cols_matches_gather_walk(rng):
+    """The gather-free axis-aligned extraction (production path) is
+    output-equivalent to the explicit step-indexed gather walk across
+    random shapes, densities, angles and gap settings."""
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops import hough
+
+    for trial in range(12):
+        h, w = [(96, 160), (144, 256), (60, 60)][trial % 3]
+        n_steps = hough._round_up(max(h, w) + 4, 128)
+        s_dim = hough._round_up(max(h, w) + 1, 128)
+        rho_offset = w + h
+        n_rho = 2 * (w + h) + 1
+        k = 16
+        dens = [0.002, 0.02, 0.1][(trial // 3) % 3]
+        img = (rng.random((h, w)) < dens).astype(np.uint8)
+        pk = hough.pack_corners(jnp.asarray(img))
+        pkt = hough.pack_corners(jnp.asarray(img.T))
+        planes = jnp.zeros((2, s_dim, s_dim), jnp.uint8)
+        planes = planes.at[0, :h + 1, :w + 1].set(pk)
+        planes = planes.at[1, :w + 1, :h + 1].set(pkt)
+        theta = jnp.asarray(rng.integers(0, 180, k).astype(np.int32))
+        rho = jnp.asarray(rng.integers(0, n_rho, k).astype(np.int32))
+        ok_in = jnp.asarray(rng.random(k) < 0.9)
+        gap = np.float32([0.0, 4.0, 10.0][trial % 3])
+        min_len = [3, 10][trial % 2]
+        l1, o1 = hough._extract_segments(pk, theta, rho, ok_in, rho_offset,
+                                         min_len, gap, n_steps)
+        l2, o2 = hough._extract_segments_cols(planes, theta, rho, ok_in,
+                                              rho_offset, min_len, gap,
+                                              n_steps, h, w)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(l1)[np.asarray(o1)],
+                                      np.asarray(l2)[np.asarray(o2)])
