@@ -264,7 +264,18 @@ def _round_up(x: int, m: int) -> int:
 
 # -- Hough vote: VMEM-resident one-hot matmuls -------------------------------
 
-VOTE_THETA_CHUNK = 4  # thetas per program (bounds per-program VMEM liveness)
+VOTE_THETA_CHUNK = 4  # thetas per program at N <= 8192 points
+
+
+def _vote_theta_chunk(n: int) -> int:
+    """Thetas per program, scaled so the unrolled one-hot liveness fits
+    VMEM: the dominant temporary is the [128, N] bf16 lo one-hot per
+    unrolled theta (~N/4 KB); 4 x 8192 measured fastest of the fitting
+    configs, 30 x 8192 OOM'd scoped VMEM at 39.5 MB. Must divide 180.
+    ClassicDetector's 4x point budget (N = 32768) lands on 1."""
+    if n <= 8192:
+        return VOTE_THETA_CHUNK
+    return 2 if n <= 16384 else 1
 
 
 def _vote_kernel(cos_ref, sin_ref, xs_ref, ys_ref, v_ref, out_ref, *,
@@ -318,7 +329,7 @@ def hough_vote_pallas(xs: jax.Array, ys: jax.Array, valid: jax.Array,
     SMEM so both paths quantize rho identically.
     """
     t, n = xs.shape
-    n_theta, c_chunk = 180, VOTE_THETA_CHUNK
+    n_theta, c_chunk = 180, _vote_theta_chunk(n)
     n_hi = n_rho // 128
     thetas = (jnp.arange(n_theta, dtype=jnp.float32)
               * jnp.float32(np.pi / 180))

@@ -145,3 +145,16 @@ def test_hough_vote_pallas_interpret_matches_xla(rng):
     # sanity: each frame's total votes == 180 * n_valid_points
     tot = np.asarray(got).sum(axis=(1, 2))
     np.testing.assert_array_equal(tot, [180 * c for c in counts])
+
+
+def test_vote_theta_chunk_scales_with_point_budget():
+    """The per-program theta chunk must shrink as the point capacity
+    grows (the [128, N] one-hot liveness is ~N/4 KB per unrolled theta;
+    ClassicDetector's 4x budget needs chunk 1) and always divide 180."""
+    from metdetpy_tpu.ops.pallas_kernels import _vote_theta_chunk
+    assert _vote_theta_chunk(1024) == 4
+    assert _vote_theta_chunk(8192) == 4
+    assert _vote_theta_chunk(16384) == 2
+    assert _vote_theta_chunk(32768) == 1
+    for n in (256, 8192, 16384, 32768):
+        assert 180 % _vote_theta_chunk(n) == 0
