@@ -515,16 +515,20 @@ class ClassicDetector(LineDetector):
 
 class DiffAreaGuidingDetecor(BaseDetector):
     """EMA-background experimental detector; returns no lines (parity with
-    the incomplete reference implementation, MetLib/Detector.py:451-519)."""
+    the incomplete reference implementation, MetLib/Detector.py:451-519).
+
+    Background maintenance uses Uint8EMA exactly as the reference does
+    (warmup-adjusted momentum, int16-promoted blend,
+    MetLib/utils.py:371-415); the reference defers the EMA update until
+    after diffing (post_update, MetLib/Detector.py:488-501)."""
 
     def __init__(self, window_sec: float, fps: float, mask: np.ndarray,
                  num_cls: int, cfg, logger: BaseMetLog) -> None:
+        from ..utils import Uint8EMA
         self.logger = logger
         momentum = 1 - 1 / (window_sec * fps)
         self.logger.info(f"Momentum={momentum:.4f}")
-        self.momentum = momentum
-        self.bg = None
-        self.t = 0
+        self.bg_maintainer = Uint8EMA(momentum=momentum)
         self.cur_frame: Optional[np.ndarray] = None
         self.diff_img: Optional[np.ndarray] = None
         self.num_cls = num_cls
@@ -532,20 +536,15 @@ class DiffAreaGuidingDetecor(BaseDetector):
     def update(self, new_frame: np.ndarray) -> None:
         self.cur_frame = new_frame
 
-    def _ema_update(self) -> None:
-        v = np.asarray(self.cur_frame, dtype=np.int16)
-        if self.bg is None or self.t == 0:
-            self.bg = v.astype(np.float64) * (1 - self.momentum)
-        else:
-            self.bg = self.momentum * self.bg + (1 - self.momentum) * v
-        self.t += 1
+    def post_update(self) -> None:
+        self.bg_maintainer.update(self.cur_frame)
 
     def detect(self) -> FrameResult:
-        if self.t == 0:
-            self._ema_update()
+        if self.bg_maintainer.t == 0:
+            self.bg_maintainer.update(self.cur_frame)
             self.diff_img = np.zeros_like(self.cur_frame)
             return np.zeros((0, 4), int), np.zeros((0, self.num_cls))
         self.diff_img = ((self.cur_frame.astype(np.float64) + 100)
-                         > self.bg).astype(np.uint8) * 255
-        self._ema_update()
+                         > self.bg_maintainer.cur_value).astype(np.uint8) * 255
+        self.post_update()
         return np.zeros((0, 4), int), np.zeros((0, self.num_cls))

@@ -210,6 +210,24 @@ class EMA:
         self.t += 1
 
 
+class Uint8EMA(EMA):
+    """EMA over uint8 image matrices (reference MetLib/utils.py:371-415).
+
+    The incoming frame is promoted to int16 before the blend so uint8
+    wraparound can never poison the background estimate; the running
+    value itself is a float matrix (the momentum blend is float math in
+    the reference too). Shares the quadratic momentum warmup with EMA.
+    """
+
+    def update(self, value: np.ndarray) -> None:
+        if self.warmup_speed > 0:
+            self._adjust()
+        value_copy = np.array(value, dtype=np.int16)
+        self.cur_value = (self.cur_momentum * self.cur_value
+                          + (1 - self.cur_momentum) * value_copy)
+        self.t += 1
+
+
 # ---------------------------------------------------------------------------
 # Resize / size parsing (reference MetLib/utils.py:562-632)
 # ---------------------------------------------------------------------------

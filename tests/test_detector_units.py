@@ -87,3 +87,55 @@ def test_select_subarea_walks_up_from_masked_bottom():
     mask[40:, :] = 0  # masked lower part -> sub-ROI should move up
     r1, c1, r2, c2 = select_subarea(mask, 0.1)
     assert r2 <= 42  # walked up until fully in the unmasked area
+
+
+def test_uint8_ema_matches_reference_semantics():
+    """Uint8EMA parity with the reference (MetLib/utils.py:371-415):
+    warmup-adjusted momentum + int16-promoted float blend."""
+    from metdetpy_tpu.utils import Uint8EMA
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (20, 8, 9), np.uint8)
+    ema = Uint8EMA(momentum=0.9, warmup_speed=1)
+
+    # inline oracle transcribing the reference math
+    init_m, warm, cur_m, cur_v, t = 0.9, 1.0, 0.9, 0.0, 0
+    for f in frames:
+        if warm > 0:
+            k = t * (1 - init_m) * warm
+            if k < 1:
+                cur_m = init_m * (1 - (1 - k) ** 2)
+            else:
+                warm, cur_m = 0, init_m
+        cur_v = cur_m * cur_v + (1 - cur_m) * f.astype(np.int16)
+        t += 1
+        ema.update(f)
+        np.testing.assert_allclose(ema.cur_value, cur_v, rtol=1e-12)
+    assert ema.t == 20
+
+
+def test_diff_area_guiding_uses_uint8_ema():
+    """DiffAreaGuidingDetecor parity shape: first frame seeds the bg and
+    yields a zero diff; later frames diff against the Uint8EMA background
+    (reference MetLib/Detector.py:488-501)."""
+    from metdetpy_tpu.detectors.m3det import DiffAreaGuidingDetecor
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.utils import Uint8EMA
+
+    rng = np.random.default_rng(4)
+    det = DiffAreaGuidingDetecor(window_sec=0.4, fps=10.0,
+                                 mask=np.ones((6, 6), np.uint8),
+                                 num_cls=3, cfg=None, logger=BaseMetLog())
+    assert isinstance(det.bg_maintainer, Uint8EMA)
+    f0 = rng.integers(0, 256, (6, 6), np.uint8)
+    det.update(f0)
+    lines, cls = det.detect()
+    assert lines.shape == (0, 4) and cls.shape == (0, 3)
+    assert det.diff_img is not None and not det.diff_img.any()
+    assert det.bg_maintainer.t == 1
+    f1 = np.full((6, 6), 255, np.uint8)
+    det.update(f1)
+    det.detect()
+    # bright frame over a seeded background must flag foreground
+    assert det.diff_img.any()
+    assert det.bg_maintainer.t == 2
