@@ -83,7 +83,7 @@ def bench_multistream():
     detectors[0].process_block(streams[0][:block_frames])  # compile warmup
 
     passes = int(os.environ.get("BENCH_PASSES", 3))
-    best = 0.0
+    pass_fps = []
     ex = ThreadPoolExecutor(max_workers=4)
     for _ in range(passes):
         t0 = time.time()
@@ -100,12 +100,17 @@ def bench_multistream():
         dt = time.time() - t0
         fps_agg = n_streams * n_frames / dt
         sys.stderr.write(f"[bench:multistream] pass {fps_agg:.1f} fps\n")
-        best = max(best, fps_agg)
+        pass_fps.append(fps_agg)
+    best = max(pass_fps)
+    med = sorted(pass_fps)[len(pass_fps) // 2]
     print(json.dumps({
         "metric": f"{n_streams}x540p_multistream_agg_fps_per_chip",
         "value": round(best, 2),
         "unit": "frames/sec",
         "vs_baseline": round(best / REFERENCE_FPS, 2),
+        "protocol": f"best of {passes} passes; median also recorded",
+        "value_median": round(med, 2),
+        "passes_fps": [round(x, 2) for x in pass_fps],
     }))
 
 
@@ -521,11 +526,15 @@ def bench_dldet():
     sys.stderr.write(f"[bench:dldet] passes "
                      f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
                      f"METEOR records: {n_meteors}\n")
+    pass_fps = sorted(n_frames / e for e, _ in results)
     print(json.dumps({
         "metric": "1080p_dldet_fps_per_chip",
         "value": round(value, 2),
         "unit": "frames/sec",
         "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "protocol": f"best of {passes} passes; median also recorded",
+        "value_median": round(pass_fps[len(pass_fps) // 2], 2),
+        "passes_fps": [round(x, 2) for x in pass_fps],
         "meteor_found": n_meteors >= 1,
         "detector": "MLDetector(yolov5s_v5 flax, bf16, 320x320)",
         # the dldet path is device-resident + pipelined (decode-thread
@@ -592,11 +601,15 @@ def bench_high_mask():
     sys.stderr.write(f"[bench:high_mask] passes "
                      f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
                      f"METEOR records: {n_meteors}\n")
+    pass_fps = sorted(n_frames / e for e, _ in results)
     print(json.dumps({
         "metric": "1080p_m3det_high_masked_fps_per_chip",
         "value": round(value, 2),
         "unit": "frames/sec",
         "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "protocol": f"best of {passes} passes; median also recorded",
+        "value_median": round(pass_fps[len(pass_fps) // 2], 2),
+        "passes_fps": [round(x, 2) for x in pass_fps],
         "meteor_found": n_meteors >= 1,
         "config": "m3det_high + bottom-quarter ROI mask",
     }))
@@ -706,6 +719,84 @@ def bench_denoise():
         "vs_baseline": round(5.0 / ratio, 2),
         "t_max_s": round(t_max, 3),
         "t_mfnr_s": round(t_mfnr, 3),
+    }))
+
+
+def bench_recheck():
+    """Recheck-ON end-to-end (the north-star "no extra pass" clause,
+    BASELINE.json north_star + reference second decode at
+    MetLib/collector.py:683-751): m3det_normal UNMODIFIED -- recheck
+    stays at its preset default switch=true -- over a synthetic 1080p
+    COLOR clip, vs a matched recheck-OFF run of the same frames. The
+    BlockVideoLoader keeps in-memory color max-stacks
+    (io/videoloader.py keep_color_stacks) so recheck consumes loader
+    memory instead of re-decoding; the artifact states the measured
+    overhead of turning recheck on."""
+    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+    from metdetpy_tpu.structs import MainDetectCfg
+    from metdetpy_tpu.utils import relative2abs_path
+
+    fps = 25.0
+    n_seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
+    w, h = 1920, 1080
+    meteor = SynthMeteor(start_sec=2.4, end_sec=4.4,
+                         pt1=(int(w * 0.45), int(h * 0.25)),
+                         pt2=(int(w * 0.30), int(h * 0.55)))
+    frames = generate_meteor_video(width=w, height=h, fps=fps,
+                                   duration_sec=n_seconds, meteors=[meteor],
+                                   n_stars=150, noise_sigma=4.0, color=True)
+    frames.sum()
+
+    def load_cfg(recheck_on):
+        cfg = MainDetectCfg.from_json_file(
+            relative2abs_path("./config/m3det_normal.json"))
+        cfg.loader.name = "BlockVideoLoader"
+        cfg.loader.wrapper = "NumpyVideoWrapper"
+        cfg.loader.exp_time = "real-time"
+        cfg.collector.recheck_cfg.switch = recheck_on
+        return cfg
+
+    n_frames = frames.shape[0]
+    warm = frames[: int(fps * 6)]
+    run(warm, load_cfg(True))  # compiles (detector step + YOLO recheck)
+    run(warm, load_cfg(False))
+
+    passes = int(os.environ.get("BENCH_PASSES", 3))
+    on_runs = [run(frames, load_cfg(True)) for _ in range(passes)]
+    off_runs = [run(frames, load_cfg(False)) for _ in range(passes)]
+    on_fps = sorted(n_frames / e for e, _ in on_runs)
+    off_fps = sorted(n_frames / e for e, _ in off_runs)
+    _, mdrf = min(on_runs, key=lambda r: r[0])
+    targets = [t for rec in mdrf.results for t in rec.target]
+    n_meteors = sum(1 for t in targets if t.category == "METEOR")
+    n_rechecked = sum(1 for t in targets if t.recheck_score is not None)
+    best_on, best_off = on_fps[-1], off_fps[-1]
+    med_on = on_fps[len(on_fps) // 2]
+    med_off = off_fps[len(off_fps) // 2]
+    sys.stderr.write(f"[bench:recheck] ON passes "
+                     f"{[round(x, 1) for x in on_fps]} fps; OFF passes "
+                     f"{[round(x, 1) for x in off_fps]} fps; METEOR "
+                     f"records: {n_meteors}; rechecked: {n_rechecked}\n")
+    print(json.dumps({
+        "metric": "1080p_detect_recheck_on_fps_per_chip",
+        "value": round(best_on, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(best_on / REFERENCE_FPS, 2),
+        "protocol": f"best of {passes} passes; median also recorded",
+        "value_median": round(med_on, 2),
+        "passes_fps": [round(x, 2) for x in on_fps],
+        "recheck_off_fps_best": round(best_off, 2),
+        "recheck_off_fps_median": round(med_off, 2),
+        "recheck_off_passes_fps": [round(x, 2) for x in off_fps],
+        "recheck_overhead_pct_best": round(
+            100.0 * (best_off - best_on) / best_off, 1),
+        "recheck_overhead_pct_median": round(
+            100.0 * (med_off - med_on) / med_off, 1),
+        "meteor_found": n_meteors >= 1,
+        "n_rechecked_targets": n_rechecked,
+        "note": "m3det_normal preset unmodified (recheck switch stays at "
+                "its default true); recheck stacks come from loader "
+                "memory -- no second decode pass",
     }))
 
 
@@ -825,6 +916,9 @@ def main():
     if mode == "denoise":
         bench_denoise()
         return
+    if mode == "recheck":
+        bench_recheck()
+        return
     from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
 
     fps = 25.0
@@ -898,8 +992,11 @@ def main():
     for _ in range(passes):
         health.append(host_memcpy_gbps())
         results.append(run(frames, cfg))
-    elapsed, mdrf = min(results, key=lambda r: r[0])
+    best_idx = min(range(len(results)), key=lambda i: results[i][0])
+    elapsed, mdrf = results[best_idx]
     value = n_frames / elapsed
+    pass_fps = [n_frames / e for e, _ in results]
+    value_median = sorted(pass_fps)[len(pass_fps) // 2]
 
     n_meteors = sum(1 for rec in mdrf.results for t in rec.target
                     if t.category == "METEOR")
@@ -933,6 +1030,9 @@ def main():
     loader_host_s = sum(perf.get(f"loader_{k}", 0.0)
                         for k in ("read", "preproc", "merge"))
     stages = {
+        # which of the timed passes this stage breakdown belongs to (the
+        # best/selected pass -- NOT the warmup/compile pass)
+        "pass_index": best_idx,
         "wall_s": round(wall, 3),
         "decode_wait_s": round(decode_s, 3),
         "dispatch_s": round(dispatch_s, 3),
@@ -978,6 +1078,11 @@ def main():
         "value": round(value, 2),
         "unit": "frames/sec",
         "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "protocol": f"best of {passes} timed passes (warmup pass "
+                    f"excluded); median also recorded",
+        "value_median": round(value_median, 2),
+        "vs_baseline_median": round(value_median / REFERENCE_FPS, 2),
+        "passes_fps": [round(x, 2) for x in pass_fps],
         "device_only_fps": round(device_fps, 2),
         "device_only_vs_baseline": round(device_fps / REFERENCE_FPS, 2),
         "device_hbm": device_hbm,

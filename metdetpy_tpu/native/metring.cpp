@@ -15,7 +15,99 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
+
+// ---------------------------------------------------------------------
+// Exact 2:1 u8 downscale fast path
+// ---------------------------------------------------------------------
+//
+// At an exact 2:1 ratio cv2's INTER_LINEAR fixed-point math collapses to
+// the 2x2 box average (a+b+c+d+2)>>2 (coefficients 1024/1024 on both
+// axes: ((1024*((a+b)*1024>>4))>>16) = a+b exactly), so the generic
+// two-pass resize can be replaced by one fused pass. The AVX2 variant
+// processes 16 output pixels per iteration via pairwise maddubs sums;
+// bit-exactness vs cv2 is pinned in tests/test_native_resize.py.
+
+void resize_half_u8_scalar(const uint8_t* src, int sw, uint8_t* dst,
+                           int dh, int dw) {
+  for (int dy = 0; dy < dh; ++dy) {
+    const uint8_t* r0 = src + static_cast<size_t>(2 * dy) * sw;
+    const uint8_t* r1 = r0 + sw;
+    uint8_t* d = dst + static_cast<size_t>(dy) * dw;
+    for (int dx = 0; dx < dw; ++dx) {
+      d[dx] = static_cast<uint8_t>(
+          (r0[2 * dx] + r0[2 * dx + 1] + r1[2 * dx] + r1[2 * dx + 1] + 2)
+          >> 2);
+    }
+  }
+}
+
+#if defined(__AVX2__)
+void resize_half_u8(const uint8_t* src, int sw, uint8_t* dst,
+                    int dh, int dw) {
+  const __m256i ones = _mm256_set1_epi8(1);
+  const __m256i two = _mm256_set1_epi16(2);
+  for (int dy = 0; dy < dh; ++dy) {
+    const uint8_t* r0 = src + static_cast<size_t>(2 * dy) * sw;
+    const uint8_t* r1 = r0 + sw;
+    uint8_t* d = dst + static_cast<size_t>(dy) * dw;
+    int dx = 0;
+    for (; dx + 32 <= dw; dx += 32) {
+      __m256i a0 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r0 + 2 * dx));
+      __m256i a1 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r0 + 2 * dx + 32));
+      __m256i b0 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r1 + 2 * dx));
+      __m256i b1 = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r1 + 2 * dx + 32));
+      __m256i s0 = _mm256_srli_epi16(
+          _mm256_add_epi16(
+              _mm256_add_epi16(_mm256_maddubs_epi16(a0, ones),
+                               _mm256_maddubs_epi16(b0, ones)),
+              two),
+          2);
+      __m256i s1 = _mm256_srli_epi16(
+          _mm256_add_epi16(
+              _mm256_add_epi16(_mm256_maddubs_epi16(a1, ones),
+                               _mm256_maddubs_epi16(b1, ones)),
+              two),
+          2);
+      __m256i packed = _mm256_permute4x64_epi64(
+          _mm256_packus_epi16(s0, s1), 0xD8);
+      _mm256_storeu_si256(reinterpret_cast<__m256i*>(d + dx), packed);
+    }
+    for (; dx + 16 <= dw; dx += 16) {
+      __m256i a = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r0 + 2 * dx));
+      __m256i b = _mm256_loadu_si256(
+          reinterpret_cast<const __m256i*>(r1 + 2 * dx));
+      __m256i s = _mm256_add_epi16(
+          _mm256_add_epi16(_mm256_maddubs_epi16(a, ones),
+                           _mm256_maddubs_epi16(b, ones)),
+          two);
+      s = _mm256_srli_epi16(s, 2);
+      __m128i packed = _mm_packus_epi16(_mm256_castsi256_si128(s),
+                                        _mm256_extracti128_si256(s, 1));
+      _mm_storeu_si128(reinterpret_cast<__m128i*>(d + dx), packed);
+    }
+    for (; dx < dw; ++dx) {
+      d[dx] = static_cast<uint8_t>(
+          (r0[2 * dx] + r0[2 * dx + 1] + r1[2 * dx] + r1[2 * dx + 1] + 2)
+          >> 2);
+    }
+  }
+}
+#else
+void resize_half_u8(const uint8_t* src, int sw, uint8_t* dst,
+                    int dh, int dw) {
+  resize_half_u8_scalar(src, sw, dst, dh, dw);
+}
+#endif
 
 // ---------------------------------------------------------------------
 // Bilinear u8 resize, bit-exact with cv2 INTER_LINEAR (1 or 3 channels)
@@ -65,6 +157,10 @@ void build_axis(int ssize, int dsize, std::vector<int>& ofs,
 // Interleaved-channel resize (cn = 1 or 3), cv2-INTER_LINEAR bit-exact.
 void resize_linear_u8_cn(const uint8_t* src, int sh, int sw, uint8_t* dst,
                          int dh, int dw, int cn) {
+  if (cn == 1 && sh == 2 * dh && sw == 2 * dw && dh > 0 && dw > 0) {
+    resize_half_u8(src, sw, dst, dh, dw);
+    return;
+  }
   ResizePlan p;
   build_axis(sw, dw, p.xofs, p.xcoef);
   build_axis(sh, dh, p.yofs, p.ycoef);

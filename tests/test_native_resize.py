@@ -16,7 +16,12 @@ from metdetpy_tpu.native import (get_lib, resize_assemble_u8,
 DOWNSCALES = [(1080, 1920, 540, 960), (655, 1168, 538, 960),
               (720, 1280, 540, 960), (480, 640, 270, 360),
               (100, 173, 37, 61), (540, 960, 540, 960),
-              (2160, 3840, 540, 960)]
+              (2160, 3840, 540, 960),
+              # exact 2:1 ratios take the fused AVX2 half-resize fast
+              # path (metring.cpp resize_half_u8) incl. non-multiple-of-
+              # 32 widths exercising the 16-wide and scalar tails
+              (2160, 3840, 1080, 1920), (540, 1918, 270, 959),
+              (100, 70, 50, 35), (8, 34, 4, 17)]
 
 
 @pytest.mark.parametrize("sh,sw,dh,dw", DOWNSCALES)
