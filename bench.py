@@ -52,11 +52,20 @@ def bench_multistream():
     detector per stream with pipelined dispatch/fetch (the blocks of all
     streams queue on the device and the fixed host/tunnel costs amortize
     across streams). On a multi-chip mesh the shard_map variant
-    (parallel/multistream.py) places one stream per chip instead. Streams
-    are synthesized at the analysis resolution; the metric is aggregate
-    detection frames/sec."""
+    (parallel/multistream.py) places one stream per chip instead.
+
+    BENCH_INPUT=4k (the config-#5 spec): streams are synthesized at
+    3840x2160 and each block is resized to the m3det 960-long-side
+    analysis resolution INSIDE the timed loop (the per-frame preprocess a
+    4K feed pays; the reference's own 4K benchmark analyzes at the same
+    default 960, reference readme.md:121 + config/m3det_normal.json:12).
+    Default: streams synthesized directly at the analysis resolution.
+    The metric is aggregate detection frames/sec; per-stream detection is
+    validated by requiring Hough lines in the meteor window on every
+    stream."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
+    import cv2
     from metdetpy_tpu.detectors.m3det import M3Detector
     from metdetpy_tpu.log import BaseMetLog
     from metdetpy_tpu.structs import MainDetectCfg
@@ -64,12 +73,21 @@ def bench_multistream():
     from metdetpy_tpu.utils import get_num_class, relative2abs_path
 
     n_streams = int(os.environ.get("BENCH_STREAMS", 8))
+    four_k = os.environ.get("BENCH_INPUT", "").lower() == "4k"
     w, h, fps = 960, 540, 25.0
-    n_seconds = float(os.environ.get("BENCH_SECONDS", 12.0))
+    if four_k:
+        in_w, in_h = 3840, 2160
+        n_seconds = float(os.environ.get("BENCH_SECONDS", 8.0))
+    else:
+        in_w, in_h = w, h
+        n_seconds = float(os.environ.get("BENCH_SECONDS", 12.0))
     streams = [generate_meteor_video(
-        width=w, height=h, fps=fps, duration_sec=n_seconds,
-        meteors=[SynthMeteor(2.4, 4.4, (w // 2, h // 4), (w // 3, h // 2))],
+        width=in_w, height=in_h, fps=fps, duration_sec=n_seconds,
+        meteors=[SynthMeteor(2.4, 4.4, (in_w // 2, in_h // 4),
+                             (in_w // 3, in_h // 2))],
         n_stars=100, noise_sigma=4.0, seed=s) for s in range(n_streams)]
+    for s in streams:
+        s.sum()  # fault in every page before any timed pass
     cfg = MainDetectCfg.from_json_file(
         relative2abs_path("./config/m3det_normal.json"))
     block_frames = 64
@@ -80,7 +98,30 @@ def bench_multistream():
                             num_cls=get_num_class(), cfg=cfg.detector.cfg,
                             logger=BaseMetLog())
                  for _ in range(n_streams)]
-    detectors[0].process_block(streams[0][:block_frames])  # compile warmup
+    # pre-faulted per-stream block buffers for the 4K->960 preprocess
+    res_blocks = [np.zeros((block_frames, h, w), np.uint8)
+                  for _ in range(n_streams)] if four_k else None
+
+    def block_of(si, pos):
+        raw = streams[si][pos:pos + block_frames]
+        if not four_k:
+            return raw
+        blk = res_blocks[si]
+        for i in range(raw.shape[0]):
+            cv2.resize(raw[i], (w, h), dst=blk[i],
+                       interpolation=cv2.INTER_LINEAR)
+        return blk
+
+    detectors[0].process_block(block_of(0, 0))  # compile warmup
+
+    # meteor window in merged-frame indices (detection check per stream)
+    met_lo, met_hi = int(2.0 * fps), int(5.0 * fps)
+    hits = [False] * n_streams
+
+    def collect_and_check(det, si, pos, handle):
+        for t, (lines, _) in enumerate(det.collect(handle)):
+            if len(lines) and met_lo <= pos + t <= met_hi:
+                hits[si] = True
 
     passes = int(os.environ.get("BENCH_PASSES", 3))
     pass_fps = []
@@ -89,10 +130,10 @@ def bench_multistream():
         t0 = time.time()
         futures: "deque" = deque()
         for pos in range(0, n_frames, block_frames):
-            for det, stream in zip(detectors, streams):
-                handle = det.process_block_async(
-                    stream[pos:pos + block_frames])
-                futures.append(ex.submit(det.collect, handle))
+            for si, (det, stream) in enumerate(zip(detectors, streams)):
+                handle = det.process_block_async(block_of(si, pos))
+                futures.append(ex.submit(collect_and_check, det, si, pos,
+                                         handle))
                 while len(futures) >= 2 * n_streams:
                     futures.popleft().result()
         while futures:
@@ -103,14 +144,19 @@ def bench_multistream():
         pass_fps.append(fps_agg)
     best = max(pass_fps)
     med = sorted(pass_fps)[len(pass_fps) // 2]
+    label = "2160p" if four_k else "540p"
     print(json.dumps({
-        "metric": f"{n_streams}x540p_multistream_agg_fps_per_chip",
+        "metric": f"{n_streams}x{label}_multistream_agg_fps_per_chip",
         "value": round(best, 2),
         "unit": "frames/sec",
         "vs_baseline": round(best / REFERENCE_FPS, 2),
         "protocol": f"best of {passes} passes; median also recorded",
         "value_median": round(med, 2),
         "passes_fps": [round(x, 2) for x in pass_fps],
+        "input_resolution": f"{in_w}x{in_h}",
+        "analysis_resolution": f"{w}x{h}",
+        "streams_with_meteor_lines": int(sum(hits)),
+        "n_streams": n_streams,
     }))
 
 
@@ -527,6 +573,14 @@ def bench_dldet():
                      f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
                      f"METEOR records: {n_meteors}\n")
     pass_fps = sorted(n_frames / e for e, _ in results)
+    perf = mdrf.performance or {}
+    dldet_stages = {
+        k: perf.get(k) for k in
+        ("wall_time_s", "decode_wait_s", "dispatch_s", "collect_s",
+         "collect_calls", "collector_update_s", "loader_read",
+         "loader_preproc", "loader_merge", "loader_qput", "loader_h2d_s",
+         "loader_h2d_bytes", "loader_loop_wall")
+        if perf.get(k) is not None}
     print(json.dumps({
         "metric": "1080p_dldet_fps_per_chip",
         "value": round(value, 2),
@@ -546,6 +600,7 @@ def bench_dldet():
         "note": "device-resident stacks + async block pipeline; "
                 "tunnel-RTT residual; see BENCH_MODE=yolo for device-only "
                 "capability",
+        "stages": dldet_stages,
     }))
 
 
@@ -673,52 +728,67 @@ def bench_photo():
 
 
 def bench_denoise():
-    """mfnr-mix denoise stack vs plain max stack cost ratio. The
-    reference documents mfnr-mix at >5x the plain-export cost
-    (reference docs/update-log.md:154); report our measured ratio on the
-    same 64-frame 1080p color clip."""
+    """mfnr-mix export vs plain max-stack export cost ratio, measured
+    apples-to-apples with the reference's claim: mfnr-mix costs >5x "the
+    full plain export" INCLUDING decode and encode (reference
+    docs/update-log.md:154). Both sides decode the same 64-frame 1080p
+    mp4 through the real OpenCV wrapper and encode the stacked jpg; the
+    mfnr pixel math itself runs on the device when the transport probe
+    says the link carries the clip faster than one host core computes
+    (ops/stack_device.py), on host otherwise."""
+    import cv2
     from metdetpy_tpu.io.videoloader import ThreadVideoLoader
-    from metdetpy_tpu.io.videowrapper import NumpyVideoWrapper
-    from metdetpy_tpu.ops.stack import max_stacker, mfnr_mix_stacker
+    from metdetpy_tpu.io.videowrapper import OpenCVVideoWrapper
+    from metdetpy_tpu.ops.stack import (_device_denoise_wins, max_stacker,
+                                        mfnr_mix_stacker)
     from metdetpy_tpu.structs import ClipCfg
+    from metdetpy_tpu.synth import write_video
     from metdetpy_tpu.utils import relative2abs_path
 
     rng = np.random.default_rng(5)
     frames = rng.integers(0, 60, (64, 1080, 1920, 3), np.uint8)
-    cv2_line = __import__("cv2").line
     for t in range(20, 44):  # a moving streak so fg/bg separation works
         p = (200 + 30 * (t - 20), 300 + 18 * (t - 20))
-        cv2_line(frames[t], p, (p[0] + 40, p[1] + 24), (250, 250, 250), 2)
+        cv2.line(frames[t], p, (p[0] + 40, p[1] + 24), (250, 250, 250), 2)
+    clip_path = "/tmp/bench_denoise.mp4"
+    write_video(frames, clip_path, fps=25.0)
     denoise_cfg = ClipCfg.from_json_file(
         relative2abs_path("./global/clip_cfg.json")).image_denoise
     denoise_cfg.algorithm = "mfnr-mix"
 
     def loader():
         # _batch_stacker starts/stops the loader itself
-        return ThreadVideoLoader(NumpyVideoWrapper, frames,
+        return ThreadVideoLoader(OpenCVVideoWrapper, clip_path,
                                  exp_option="real-time", merge_func="max",
                                  grayscale=False)
 
-    def timed(fn):
+    def export(stack_fn):
+        """One FULL export: decode + stack/denoise + jpg encode."""
         t0 = time.time()
-        fn()
+        img = stack_fn(loader())
+        cv2.imwrite("/tmp/bench_denoise_out.jpg", img)
         return time.time() - t0
 
-    timed(lambda: max_stacker(loader()))  # warm
-    t_max = min(timed(lambda: max_stacker(loader())) for _ in range(2))
-    t_mfnr = min(timed(lambda: mfnr_mix_stacker(loader(), denoise_cfg))
-                 for _ in range(2))
+    max_fn = max_stacker
+    mfnr_fn = lambda ld: mfnr_mix_stacker(ld, denoise_cfg)  # noqa: E731
+    device_used = _device_denoise_wins(loader())
+    export(max_fn)   # warm decode caches
+    export(mfnr_fn)  # warm device compiles out of the timed passes
+    t_max = min(export(max_fn) for _ in range(2))
+    t_mfnr = min(export(mfnr_fn) for _ in range(2))
     ratio = t_mfnr / t_max
     print(json.dumps({
-        "metric": "mfnr_mix_vs_max_stack_cost_ratio",
+        "metric": "mfnr_mix_vs_full_max_export_cost_ratio",
         "value": round(ratio, 2),
         "unit": "x (lower is better)",
-        # reference baseline: mfnr-mix costs >5x the full plain EXPORT
-        # (decode+encode included); our t_max is the bare in-memory max
-        # stack, so this ratio is a strictly harsher comparison
+        # reference baseline: >5x the full plain export cost
+        # (decode+encode included, reference docs/update-log.md:154);
+        # same denominator here
         "vs_baseline": round(5.0 / ratio, 2),
-        "t_max_s": round(t_max, 3),
-        "t_mfnr_s": round(t_mfnr, 3),
+        "t_max_export_s": round(t_max, 3),
+        "t_mfnr_export_s": round(t_mfnr, 3),
+        "device_pixel_math": bool(device_used),
+        "clip": "64x1080p color mp4, decode via OpenCV/FFmpeg",
     }))
 
 

@@ -136,6 +136,26 @@ def _nms_batch(boxes, scores, score_thre, nms_thre, top_k: int = 128):
                                                                   scores)
 
 
+_WEIGHT_CACHE: dict = {}
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_module(nc: int) -> "yolov5.YOLOv5":
+    """One flax module instance per architecture config, shared by every
+    YOLOModel in the process.
+
+    Flax modules are stateless and value-equal, but their BOUND ``apply``
+    methods are not (two equal YOLOv5(nc=9) instances hash equal while
+    ``a.apply != b.apply``) -- and ``apply`` is a static jit argument of
+    every forward above, so a fresh module per YOLOModel instance made
+    every new detector/exporter/pass RECOMPILE the whole network (~25-35 s
+    per recompile through the remote-compile relay; measured as an 83%
+    recheck-ON e2e overhead and the dldet bench's 20 fps ceiling, r4).
+    Sharing the instance makes the jit caches hit across YOLOModel
+    lifetimes."""
+    return yolov5.YOLOv5(nc=nc)
+
+
 class YOLOModel:
     """YOLO detector with Flax/XLA backend."""
 
@@ -164,7 +184,7 @@ class YOLOModel:
         self.nc = get_num_class() - 2  # without DROPPED/OTHERS
         self.hw_ratio = self.h / self.w
 
-        self.model = yolov5.YOLOv5(nc=self.nc)
+        self.model = _shared_module(self.nc)
         self.variables = self._load_weights(weight_path)
         self._apply = self.model.apply
         if warmup:
@@ -180,7 +200,18 @@ class YOLOModel:
         if weight_path and weight_path.endswith(".npz") and \
                 os.path.isfile(weight_path) and not is_lfs_pointer(
                     weight_path):
-            return load_params(weight_path)
+            # process-level cache of DEVICE-resident params: without it
+            # every YOLOModel instance (one per detect_video pass via
+            # MetExporter/MLDetector) re-parses the npz and re-uploads
+            # ~14 MB of weights through the link -- measured as seconds
+            # per pass on a slow transport
+            key = (os.path.abspath(weight_path),
+                   os.path.getmtime(weight_path))
+            cached = _WEIGHT_CACHE.get(key)
+            if cached is None:
+                cached = jax.device_put(load_params(weight_path))
+                _WEIGHT_CACHE[key] = cached
+            return cached
         if weight_path and weight_path.endswith(".onnx") and \
                 os.path.isfile(weight_path) and not is_lfs_pointer(
                     weight_path):

@@ -435,6 +435,35 @@ def connect_highlight_area(light_img: np.ndarray, light_diff_img: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def _device_denoise_wins(video_loader) -> bool:
+    """Transport-aware placement of the MFNR pixel math.
+
+    The device path uploads the whole clip (iterations * frame bytes);
+    the host pixel math costs roughly 35 ms/1080p-frame on one healthy
+    core (measured: 2.3 s of pixel math for a 64-frame stack). Prefer
+    the accelerator when the probed link can carry the clip faster than
+    that host estimate. ``METDETPY_TPU_DEVICE_DENOISE`` = ``force``/``0``
+    overrides the probe."""
+    import os
+    mode = os.environ.get("METDETPY_TPU_DEVICE_DENOISE", "auto")
+    if mode == "0":
+        return False
+    if mode == "force":
+        return True
+    try:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            return False  # "device" is the same host core: no win
+        w, h = video_loader.runtime_size
+        frames = video_loader.iterations
+        upload_bytes = frames * h * w * 3
+        h2d, _ = _probe_link_bps()
+        host_est_s = frames * (h * w / (1920 * 1080)) * 0.035
+        return upload_bytes / h2d < host_est_s
+    except Exception:
+        return False
+
+
 def _var_f32(fg: FastGaussianParam) -> np.ndarray:
     """Sample variance of a FastGaussianParam in float32. The f64 `var`
     property materializes ~250 MB of temporaries at 1080p; only the
@@ -458,6 +487,13 @@ def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
     by the Gumbel expected maximum, feather the foreground mask, and blend
     max + mean images (reference MetLib/stacker.py:296-403)."""
     logger = get_useable_logger(logger)
+    if _device_denoise_wins(video_loader):
+        from .stack_device import mfnr_mix_device
+        try:
+            return mfnr_mix_device(video_loader, denoise_cfg, start_frame,
+                                   end_frame, logger)
+        except Exception as e:  # device/transport failure: host fallback
+            logger.warning(f"device MFNR failed ({e!r}); host fallback.")
     hp, blur_ksize = denoise_cfg.highlight_preserve, denoise_cfg.blur_ksize
     connect_cfg, mfnr = denoise_cfg.connect_lines, denoise_cfg.mfnr_param
     max_img, img_stack, init_fg = _batch_stacker(

@@ -1,0 +1,251 @@
+"""Device-side MFNR mixed stacking.
+
+The host path (ops.stack.mfnr_mix_stacker) implements the reference's
+pixel math (reference MetLib/stacker.py:296-403) in numpy/cv2; this module
+runs the same math as jitted [T, H, W, 3] tensor programs on the
+accelerator (SURVEY §2.9 maps the GaussianBlur/feather/blend chain to
+jax), streaming decode blocks through device carries:
+
+  per block:   max, sum (u32), square-sum (u32) accumulate on device
+               (the streaming FastGaussianParam analog,
+               reference MetLib/utils.py:418-513)
+  at export:   background estimate (mean / median / sigma-clipping),
+               Gumbel expected-max correction, foreground mask +
+               separable Gaussian feather (cv2.getGaussianKernel
+               coefficients, REFLECT_101 borders), highlight-protected
+               brightness fix, max/mean blend -- one fused jit program.
+
+``connect_lines`` (contour-based trail reconnection) stays host-side: it
+is a single-image OpenCV findContours pass, so the device program splits
+around it when enabled.
+
+Output parity with the host path is within +/-1 gray level (f32 vs f64
+reductions); pinned by tests/test_stack.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional
+
+import numpy as np
+
+from ..log import BaseMetLog, get_useable_logger
+from ..structs import DenoiseOption
+
+DEVICE_BLOCK = 16  # frames uploaded per carry update
+
+
+def _gaussian_kernel_f32(ksize: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel coefficients (the exact taps GaussianBlur
+    uses), as f32 [ksize]."""
+    import cv2
+    return cv2.getGaussianKernel(ksize, sigma).astype(np.float32).ravel()
+
+
+def _blur_reflect101(img, taps):
+    """Separable Gaussian blur of a [H, W] f32 image with cv2's default
+    BORDER_REFLECT_101 padding (np/jnp pad mode='reflect')."""
+    import jax.numpy as jnp
+    k = taps.shape[0]
+    r = k // 2
+    x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
+    # horizontal then vertical 1-D convolutions via explicit taps (k is
+    # small and static; XLA fuses the shifted adds)
+    h = sum(taps[i] * x[:, i:i + img.shape[1]] for i in range(k))
+    v = sum(taps[i] * h[i:i + img.shape[0], :] for i in range(k))
+    return v
+
+
+@functools.partial(__import__("jax").jit, donate_argnums=(0, 1, 2))
+def _acc_update(mx, s, sq, block):
+    import jax.numpy as jnp
+    bmax = jnp.max(block, axis=0)
+    mx = jnp.maximum(mx, bmax)
+    b32 = block.astype(jnp.uint32)
+    s = s + jnp.sum(b32, axis=0)
+    sq = sq + jnp.sum(b32 * b32, axis=0)
+    return mx, s, sq
+
+
+def _jit_stage1(mx, s, sq, n, bg_mu, bg_var, taps, *, hp, gumbel,
+                bg_fix_factor, use_ext_bg, use_ext_var):
+    """Stats + foreground mask + feather. Returns (est_bg_mu f32,
+    est_bg_var scalar f32, max_bias f32, fg_blur f32[H,W,1])."""
+    import jax.numpy as jnp
+    nf = jnp.float32(n)
+    sf = s.astype(jnp.float32)
+    if use_ext_bg:
+        est_bg_mu = bg_mu
+    else:
+        # FastGaussianParam.mu = round(sum / n), round-half-to-even like
+        # np.round (reference MetLib/utils.py:442-447)
+        est_bg_mu = jnp.round(sf / nf)
+    if use_ext_var:
+        est_bg_var = bg_var
+    else:
+        var = (sq.astype(jnp.float32) - sf * sf / nf) / (nf - 1.0)
+        est_bg_var = jnp.mean(jnp.sqrt(jnp.maximum(var, 0.0)))
+    max_f = mx.astype(jnp.float32)
+    bg_lift = est_bg_var * jnp.float32(gumbel) * jnp.float32(bg_fix_factor)
+    max_bias = max_f - est_bg_mu - bg_lift
+    pos = max_bias > 0
+    highlight_avg = (jnp.sum(jnp.where(pos, max_bias, 0.0))
+                     / jnp.maximum(jnp.sum(pos), 1))
+    fg_any = jnp.any((max_bias > highlight_avg) | (max_f > 255.0 * hp),
+                     axis=-1).astype(jnp.float32)
+    fg_blur = _blur_reflect101(fg_any, taps)[..., None]
+    return est_bg_mu, est_bg_var, max_bias, fg_blur
+
+
+def _jit_stage2(mx, est_bg_mu, est_bg_var, fg_blur, *, hp, gumbel):
+    """Highlight-protected brightness fix + max/mean blend -> u8."""
+    import jax.numpy as jnp
+    max_f = mx.astype(jnp.float32)
+    fix_factor = 1.0 - jnp.clip(max_f / 255.0 - hp, 0.0, 1.0) / (1.0 - hp)
+    fixed_max = jnp.clip(max_f - est_bg_var * jnp.float32(gumbel)
+                         * fix_factor, 0.0, 255.0)
+    mixed = jnp.round(fixed_max * fg_blur + est_bg_mu * (1.0 - fg_blur))
+    return mixed.astype(jnp.uint8)
+
+
+def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
+                    start_frame=None, end_frame=None,
+                    logger: Optional[BaseMetLog] = None
+                    ) -> Optional[np.ndarray]:
+    """Device MFNR export: stream decode blocks into device carries, run
+    the pixel math as two fused jit programs. Same semantics as
+    ops.stack.mfnr_mix_stacker (reference MetLib/stacker.py:296-403);
+    output within +/-1 gray level of the host path.
+
+    Raises on device/transport failure -- the caller
+    (stack.mfnr_mix_stacker) falls back to the host path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import stack as hs  # host-side helpers shared verbatim
+
+    logger = get_useable_logger(logger)
+    hp, blur_ksize = denoise_cfg.highlight_preserve, denoise_cfg.blur_ksize
+    connect_cfg, mfnr = denoise_cfg.connect_lines, denoise_cfg.mfnr_param
+    assert mfnr.bg_algorithm in hs.SUPPORT_BG_ALGO, \
+        f"unsupported bg algo {mfnr.bg_algorithm}"
+    keep_stack = mfnr.bg_algorithm not in ("mean",)
+
+    if start_frame is not None or end_frame is not None:
+        video_loader.reset(start_frame=start_frame, end_frame=end_frame)
+    mx = s = sq = None
+    n = 0
+    dev_blocks: list[Any] = []
+    pend: list[np.ndarray] = []
+
+    def flush():
+        nonlocal mx, s, sq, n
+        if not pend:
+            return
+        block = jax.device_put(np.stack(pend))
+        if keep_stack:
+            dev_blocks.append(block)
+        if mx is None:
+            h, w, c = pend[0].shape
+            mx = jnp.zeros((h, w, c), jnp.uint8)
+            s = jnp.zeros((h, w, c), jnp.uint32)
+            sq = jnp.zeros((h, w, c), jnp.uint32)
+        mx, s, sq = _acc_update(mx, s, sq, block)
+        n += len(pend)
+        pend.clear()
+
+    try:
+        video_loader.start()
+        for _ in range(video_loader.iterations):
+            frame = video_loader.pop()
+            if frame is None:
+                break
+            pend.append(np.asarray(frame))
+            if len(pend) >= DEVICE_BLOCK:
+                flush()
+        flush()
+    finally:
+        video_loader.stop()
+    if n == 0 or mx is None:
+        return None
+
+    # -- background estimate -------------------------------------------
+    use_ext_bg = use_ext_var = False
+    bg_mu = jnp.zeros((), jnp.float32)
+    bg_var = jnp.zeros((), jnp.float32)
+    if mfnr.bg_algorithm in ("median", "med-of-med"):
+        stack = jnp.concatenate(dev_blocks, axis=0)
+        med = jax.jit(lambda x: jnp.median(x.astype(jnp.float32), axis=0))
+        # host parity (stack.mfnr_mix_stacker): exact median for
+        # "median" or short stacks; the memory-bounded median-of-medians
+        # approximation otherwise (reference MetLib/stacker.py:62-78);
+        # est_bg_var still comes from the full-stack stats
+        if mfnr.bg_algorithm == "median" or n <= 16:
+            bg_mu = med(stack)
+        else:
+            bs = int(n ** 0.5)
+            medians = [med(stack[i:i + bs])
+                       for i in range(0, n, bs)]
+            bg_mu = med(jnp.stack(medians))
+        use_ext_bg = True
+    elif mfnr.bg_algorithm == "sigma-clipping":
+        stack = jnp.concatenate(dev_blocks, axis=0)
+
+        @jax.jit
+        def clipped_stats(stack, s, sq):
+            # host parity: single_sigma_clipping rejects against the
+            # full-stack mu/std, then BOTH the bg mean and the bg var
+            # come from the clipped stats (reference
+            # MetLib/stacker.py:91-111 + 335-341)
+            nf = jnp.float32(n)
+            sf = s.astype(jnp.float32)
+            mu = jnp.round(sf / nf)
+            std = jnp.sqrt(jnp.maximum(
+                (sq.astype(jnp.float32) - sf * sf / nf) / (nf - 1.0), 0.0))
+            hi = jnp.clip(jnp.round(mu + mfnr.sigma_high * std),
+                          0, 255).astype(jnp.uint8)
+            lo = jnp.clip(jnp.round(mu - mfnr.sigma_low * std),
+                          0, 255).astype(jnp.uint8)
+            reject = (stack > hi[None]) | (stack < lo[None])
+            rej = jnp.where(reject, stack, 0).astype(jnp.uint32)
+            rs = (s - jnp.sum(rej, axis=0)).astype(jnp.float32)
+            rsq = (sq - jnp.sum(rej * rej, axis=0)).astype(jnp.float32)
+            rn = nf - jnp.sum(reject, axis=0).astype(jnp.float32)
+            cmu = jnp.round(rs / jnp.maximum(rn, 1.0))
+            cvar = (rsq - rs * rs / jnp.maximum(rn, 1.0)) \
+                / jnp.maximum(rn - 1.0, 1.0)
+            cstd = jnp.mean(jnp.sqrt(jnp.maximum(cvar, 0.0)))
+            return cmu, cstd
+
+        bg_mu, bg_var = clipped_stats(stack, s, sq)
+        use_ext_bg = use_ext_var = True
+
+    gumbel = hs.get_gumbel_mean(n)
+    taps = jnp.asarray(_gaussian_kernel_f32(blur_ksize, 3.0))
+    stage1 = jax.jit(functools.partial(
+        _jit_stage1, hp=float(hp), gumbel=gumbel,
+        bg_fix_factor=float(mfnr.bg_fix_factor), use_ext_bg=use_ext_bg,
+        use_ext_var=use_ext_var))
+    est_bg_mu, est_bg_var, max_bias, fg_blur = stage1(
+        mx, s, sq, np.int32(n), bg_mu, bg_var, taps)
+
+    if connect_cfg.switch:
+        # contour-based reconnection is host OpenCV work on ONE image;
+        # fetch max + bias, reconnect, re-upload the corrected max
+        max_host = np.asarray(mx)
+        bias_host = np.asarray(max_bias)
+        max_host = hs.connect_highlight_area(
+            max_host, bias_host, rep_times=1,
+            ksize_multiplier=connect_cfg.ksize_multiplier,
+            clip_threshold=connect_cfg.threshold,
+            gamma=connect_cfg.gamma, logger=logger)
+        mx = jax.device_put(max_host)
+
+    stage2 = jax.jit(functools.partial(_jit_stage2, hp=float(hp),
+                                       gumbel=gumbel))
+    mixed = np.asarray(stage2(mx, est_bg_mu, est_bg_var, fg_blur))
+    logger.debug(f"MFNR-stacked SNR (device): "
+                 f"{hs.estimate_snr_smooth_residual(mixed):.2f} db.")
+    return mixed

@@ -176,3 +176,47 @@ def test_mfnr_mix_matches_f64_reference(rng):
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.01
+
+
+def _loader(frames):
+    return ThreadVideoLoader(NumpyVideoWrapper, frames,
+                             exp_option="real-time", merge_func="max",
+                             grayscale=False)
+
+
+def test_mfnr_device_matches_host_all_bg_algorithms(rng, monkeypatch):
+    """Device MFNR (ops.stack_device, jitted [T,H,W,3] programs) vs the
+    host path: within +/-1 gray level for every bg algorithm (f32 vs f64
+    reductions land on different sides of .5 boundaries only)."""
+    from metdetpy_tpu.ops.stack_device import mfnr_mix_device
+
+    frames = _frames(rng, n=18)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    for bg in ("mean", "median", "sigma-clipping", "med-of-med"):
+        dn.mfnr_param.bg_algorithm = bg
+        monkeypatch.setenv("METDETPY_TPU_DEVICE_DENOISE", "0")
+        want = stk.mfnr_mix_stacker(_loader(frames), dn)
+        got = mfnr_mix_device(_loader(frames), dn)
+        assert got is not None and want is not None
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, (bg, diff.max())
+        assert (diff > 0).mean() < 0.02, (bg, (diff > 0).mean())
+
+
+def test_mfnr_device_no_connect_lines(rng, monkeypatch):
+    """connect_lines off: the device path must run as ONE program chain
+    with no host round trip, same +/-1 parity."""
+    from metdetpy_tpu.ops.stack_device import mfnr_mix_device
+
+    frames = _frames(rng, n=12)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    dn.connect_lines.switch = False
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_DENOISE", "0")
+    want = stk.mfnr_mix_stacker(_loader(frames), dn)
+    got = mfnr_mix_device(_loader(frames), dn)
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1
