@@ -231,20 +231,79 @@ def _wd_kernel(len_ref, seq_ref, out_ref, *, n: int, t_block: int):
         out_ref[t] = (win_max - mean).astype(jnp.uint8)
 
 
+def _wd_kernel_stream(len_ref, seq_ref, out_ref, *, n: int, t_block: int):
+    """Segment-streaming variant of :func:`_wd_kernel` with ~n live i32
+    arrays instead of ~3*n_total: the rolling sum is maintained
+    incrementally (ws(t) = ws(t-1) + x[t+n-1] - x[t-1], exact in i32) and
+    the van Herk prefix maxima are a single running accumulator that
+    resets at each segment boundary, so only the current segment's suffix
+    maxima stay live. Outputs are bit-identical to :func:`_wd_kernel`."""
+    x = seq_ref[...]
+
+    def xi(i):
+        return x[i].astype(jnp.int32)
+
+    # rolling-sum init: sum over the first window [0, n)
+    ws = xi(0)
+    for i in range(1, n):
+        ws = ws + xi(i)
+
+    def emit(t, win_max, win_sum):
+        ln = len_ref[t, 0].astype(jnp.float32)
+        # f32 floor-division is exact here (quotient <= 255; see
+        # _wd_kernel's note)
+        mean = jnp.floor(win_sum.astype(jnp.float32) / ln).astype(jnp.int32)
+        out_ref[t] = (win_max - mean).astype(jnp.uint8)
+
+    for s0 in range(0, t_block, n):  # segments containing output starts
+        s1 = s0 + n  # never short: s0 <= t_block-1 => s1 <= n_total
+        # suffix maxima over segment [s0, s1)
+        sfx: list = [None] * n
+        acc = xi(s1 - 1)
+        sfx[n - 1] = acc
+        for i in range(s1 - 2, s0 - 1, -1):
+            acc = jnp.maximum(acc, xi(i))
+            sfx[i - s0] = acc
+        pacc = None
+        for t in range(s0, min(s0 + n, t_block)):
+            if t == s0:
+                win_max = sfx[0]  # window == segment exactly
+            else:
+                pacc = xi(t + n - 1) if pacc is None else \
+                    jnp.maximum(pacc, xi(t + n - 1))
+                win_max = jnp.maximum(sfx[t - s0], pacc)
+            if t > 0:
+                ws = ws + xi(t + n - 1) - xi(t - 1)
+            emit(t, win_max, ws)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _wd_pallas(seq: jax.Array, lengths: jax.Array, n: int) -> jax.Array:
     n_total, h, w = seq.shape
     t_block = n_total - (n - 1)
-    # pick the largest band height whose i32 working set fits the budget
-    # (x + suffix/prefix maxima + cumsum live at once: ~13 B per elem)
-    s_rows = 8
-    while s_rows > 1 and 13 * n_total * s_rows * w > WD_VMEM_BUDGET:
-        s_rows //= 2
+    stream = os.environ.get("METDETPY_TPU_WD_STREAM", "1") \
+        not in ("0", "false", "off")
+    if stream:
+        kernel = functools.partial(_wd_kernel_stream, n=n, t_block=t_block)
+        # live i32 set: segment suffix maxima (n) + a few accumulators,
+        # plus the u8 seq block and u8 out block
+        bytes_per_row = (4 * (n + 4) + n_total + t_block) * w
+        s_rows = 32
+        while s_rows > 1 and bytes_per_row * s_rows > WD_VMEM_BUDGET:
+            s_rows //= 2
+    else:
+        kernel = functools.partial(_wd_kernel, n=n, t_block=t_block)
+        # pick the largest band height whose i32 working set fits the
+        # budget (x + suffix/prefix maxima + cumsum live at once: ~13
+        # B per elem)
+        s_rows = 8
+        while s_rows > 1 and 13 * n_total * s_rows * w > WD_VMEM_BUDGET:
+            s_rows //= 2
     h_pad = _round_up(h, s_rows)
     if h_pad != h:
         seq = jnp.pad(seq, ((0, 0), (0, h_pad - h), (0, 0)))
     out = pl.pallas_call(
-        functools.partial(_wd_kernel, n=n, t_block=t_block),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((t_block, h_pad, w), jnp.uint8),
         grid=(h_pad // s_rows,),
         in_specs=[

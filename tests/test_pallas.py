@@ -60,13 +60,16 @@ def _window_diff_ref(history, frames, n, timer0):
     return np.asarray(stats.diff), np.asarray(new_hist)
 
 
+@pytest.mark.parametrize("variant", ["vanherk", "stream"])
 @pytest.mark.parametrize("n,t_block,timer0,h", [
     (5, 8, 0, 13),      # warmup from stream start, padded band
     (5, 8, 40, 16),     # steady state
     (7, 3, 2, 8),       # mid-warmup, T < n
     (2, 6, 0, 9),       # minimal window
+    (5, 12, 0, 8),      # t_block > 2 segments (stream kernel's seg loop)
 ])
-def test_window_diff_pallas_interpret_matches_xla(rng, n, t_block, timer0, h):
+def test_window_diff_pallas_interpret_matches_xla(rng, n, t_block, timer0, h,
+                                                  variant):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -88,8 +91,10 @@ def test_window_diff_pallas_interpret_matches_xla(rng, n, t_block, timer0, h):
     if h_pad != h:
         seq = jnp.pad(seq, ((0, 0), (0, h_pad - h), (0, 0)))
     import functools
+    kern = (pk._wd_kernel_stream if variant == "stream"
+            else pk._wd_kernel)
     got = pl.pallas_call(
-        functools.partial(pk._wd_kernel, n=n, t_block=t_block),
+        functools.partial(kern, n=n, t_block=t_block),
         out_shape=jax.ShapeDtypeStruct((t_block, h_pad, w), jnp.uint8),
         grid=(h_pad // s_rows,),
         in_specs=[
