@@ -86,24 +86,40 @@ def _compact_indices(flat01: jax.Array, k: int) -> tuple[jax.Array,
     n = flat01.shape[0]
     row = 512
     n_pad = _round_up(n, row)
-    x = flat01.astype(jnp.int32)
+    x = flat01
     if n_pad != n:
         x = jnp.pad(x, (0, n_pad - n))
-    x2 = x.reshape(-1, row)
-    within = jnp.cumsum(x2, axis=1)              # lane-axis scan, vectorized
-    row_tot = within[:, -1]
+    x2 = x.reshape(-1, row)                      # [R, 512] uint8 bits
+    row_tot = jnp.sum(x2, axis=1, dtype=jnp.int32)
     row_prefix_incl = jnp.cumsum(row_tot)        # tiny cross-row scan
     total = row_prefix_incl[-1]
     targets = jnp.arange(1, k + 1, dtype=jnp.int32)
-    # row holding the t-th active element: count rows fully before it
-    # (vectorized compare-count; no sequential binary-search steps)
-    row_idx = jnp.sum(row_prefix_incl[None, :] < targets[:, None],
-                      axis=1).astype(jnp.int32)
+    # row holding the t-th active element, and the count of actives in
+    # the rows before it, both as compare-count reductions over one [k,
+    # R] mask. Every alternative that indexes per target was measured
+    # and lost on v5e: an explicit binary search with dependent element
+    # gathers ran 5.5x slower (XLA's TPU lowering of 1-D random gathers
+    # is catastrophic, ~10 ms for 2 x [64, 8192] element gathers), and
+    # rp[row_idx] - row_tot[row_idx] pays exactly those gathers.
+    mask = row_prefix_incl[None, :] < targets[:, None]
+    row_idx = jnp.sum(mask, axis=1).astype(jnp.int32)
+    base = jnp.sum(mask * row_tot[None, :], axis=1).astype(jnp.int32)
     row_idx = jnp.clip(row_idx, 0, x2.shape[0] - 1)
-    base = row_prefix_incl[row_idx] - row_tot[row_idx]  # exclusive prefix
     local_target = targets - base
-    row_within = within[row_idx]                 # [k, row] row gather
-    col_idx = jnp.sum(row_within < local_target[:, None],
+    # gather the RAW uint8 bit-rows (4x less gather traffic than the
+    # previous i32 cumsum-row gather -- the row gather was ~11 ms/block
+    # at [8192, 512] i32) and prefix-sum only the k gathered rows; the
+    # full-array within-row cumsum is never materialized at all. The
+    # prefix runs as ONE bf16 matmul against a triangular ones matrix --
+    # exact (0/1 operands, f32 accumulation, sums <= 512 << 2^24) and
+    # measured 7.3x faster than jnp.cumsum's log-pass materializations
+    # (1.39 vs 10.1 ms per 64x[8192, 512] block on v5e)
+    rows8 = jnp.take(x2, row_idx, axis=0)        # [k, row] u8 row gather
+    tri = jnp.triu(jnp.ones((row, row), jnp.bfloat16))  # tri[c', c] = c'<=c
+    row_within = lax.dot_general(rows8.astype(jnp.bfloat16), tri,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    col_idx = jnp.sum(row_within < local_target.astype(jnp.float32)[:, None],
                       axis=1).astype(jnp.int32)
     idx = row_idx * row + jnp.clip(col_idx, 0, row - 1)
     valid = targets <= total
@@ -274,33 +290,24 @@ def _extract_segments(pk: jax.Array, theta_idx: jax.Array,
     return lines, ok
 
 
-def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
-                           rho_idx: jax.Array, peak_ok: jax.Array,
-                           rho_offset: int, min_len: int, max_gap: jax.Array,
-                           n_steps: int, h: int,
-                           w: int) -> tuple[jax.Array, jax.Array]:
-    """Gather-free segment walk: axis-aligned one-hot row reduction.
+class _WalkGeom(NamedTuple):
+    """Per-frame walk geometry shared by the pick and finish stages."""
+    t: jax.Array      # [K, S] f32 integer-valued walk step per column
+    fx_: jax.Array    # [K, S] f32 bilinear x fraction
+    fy_: jax.Array    # [K, S] f32 bilinear y fraction
+    inp: jax.Array    # [K, S] bool in-image & in-walk-range
+    xmaj: jax.Array   # [K] bool walk is x-major
+    r: jax.Array      # [K, S] i32 plane row per column
+    px: jax.Array     # [K] f32 walk center
+    py: jax.Array
+    vx: jax.Array     # [K] f32 unit L-inf direction
+    vy: jax.Array
+    dirn: jax.Array   # [K] f32 major-axis direction (exactly +-1)
 
-    Output-equivalent to ``_extract_segments`` (pinned by tests) but with
-    NO gather: because the L-inf walk steps the major axis by exactly
-    +-1, step index <-> major-axis pixel column is a bijection, so the
-    per-step sample is "pick one row per column" -- computed as a fused
-    compare-multiply-reduce over the packed plane instead of 131k
-    random-access gathers per chunk (the gather was 7.5 ms of a 22.5 ms
-    dense 8-frame chunk on v5e; this form is VPU-bound at ~0.3 ms).
 
-    ``planes``: [2, S, S] uint8 -- pack_corners(img) zero-padded to S
-    (x-major walks, rows=y, cols=x) and pack_corners(img.T) (y-major,
-    rows=x, cols=y). NOTE the transposed plane carries corner bits 1 and
-    2 swapped (bit1 = (dx0, dy1)); the weight masks below select
-    accordingly. The f32 sample coordinates are reconstructed from the
-    column index through the exact same px + t*v expressions as the
-    step-indexed walk (t is integer-valued f32 either way), so the
-    bilinear acceptance bits are bit-identical; run analysis happens in
-    walk order (a flip for negative-direction walks), preserving
-    argmax tie-breaks.
-    """
-    S = planes.shape[-1]
+def _walk_geom(theta_idx: jax.Array, rho_idx: jax.Array, rho_offset: int,
+               n_steps: int, h: int, w: int, s_dim: int) -> _WalkGeom:
+    """Column-indexed walk geometry (see _extract_segments_cols)."""
     theta = theta_idx.astype(jnp.float32) * jnp.float32(np.pi / 180)
     c, s = jnp.cos(theta), jnp.sin(theta)           # [K]
     rho = rho_idx.astype(jnp.float32) - rho_offset  # [K]
@@ -315,7 +322,7 @@ def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
     xmaj = jnp.abs(s) >= jnp.abs(c)                  # [K] walk is x-major
     a = jnp.where(xmaj, px, py)                      # major-axis base
     dirn = jnp.where(xmaj, vx, vy)                   # exactly +-1
-    u = jnp.arange(S, dtype=jnp.float32)[None, :]    # plane column index
+    u = jnp.arange(s_dim, dtype=jnp.float32)[None, :]  # plane column index
     # walk step t (centered at 0) whose major-axis pixel index is u:
     # floor(major(t)) + 1 == u  =>  t = (u - 1 - floor(a)) * dirn, exact
     # integer-valued f32, so px + t*vx below is bit-identical to the
@@ -330,17 +337,33 @@ def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
     yi = y0.astype(jnp.int32) + 1
     inp = ((xi >= 0) & (xi <= w) & (yi >= 0) & (yi <= h)
            & (t >= -(n_steps / 2.0)) & (t < n_steps / 2.0))
-
-    # one row per column: fused onehot-compare * plane -> row reduce
-    # (XLA fuses the broadcasted compare into the reduction; nothing
-    # [K, S, S]-shaped is materialized)
     r = jnp.where(xmaj[:, None], yi, xi)             # [K, S] row per col
+    return _WalkGeom(t, fx_, fy_, inp, xmaj, r, px, py, vx, vy, dirn)
+
+
+def _picks_onehot(planes: jax.Array, r: jax.Array,
+                  xmaj: jax.Array) -> jax.Array:
+    """v[k, c] = planes[plane(k), r[k, c], c] via one-hot row reduction.
+
+    XLA fuses the broadcasted compare into the reduction on CPU; on TPU
+    it materializes [K, S, S]-shaped intermediates in HBM (~20.8 ms of
+    the 62.5 ms dense 64-frame block), so the TPU path uses the
+    VMEM-resident Pallas kernel (pallas_kernels.walk_pick_pallas)."""
+    S = planes.shape[-1]
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1)
     onehot = (rows == r[:, None, :])                 # [K, S, S]
     pick0 = jnp.sum(onehot * planes[0][None].astype(jnp.int32), axis=1)
     pick1 = jnp.sum(onehot * planes[1][None].astype(jnp.int32), axis=1)
-    v = jnp.where(xmaj[:, None], pick0, pick1)       # [K, S]
-    v = v * inp
+    return jnp.where(xmaj[:, None], pick0, pick1)    # [K, S]
+
+
+def _finish_segments(v: jax.Array, g: _WalkGeom, peak_ok: jax.Array,
+                     min_len: int, max_gap: jax.Array, h: int,
+                     w: int) -> tuple[jax.Array, jax.Array]:
+    """Bilinear acceptance + run analysis + endpoints from picked corners."""
+    S = v.shape[-1]
+    v = v * g.inp
+    t, fx_, fy_, xmaj = g.t, g.fx_, g.fy_, g.xmaj
 
     # bilinear corner weights; the transposed plane (y-major) has bits
     # 1 and 2 swapped, so swap their weight masks there
@@ -356,7 +379,7 @@ def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
 
     # put samples in walk order (ascending t) so run analysis and its
     # argmax tie-breaking match the step-indexed form
-    neg_dir = (dirn < 0)[:, None]
+    neg_dir = (g.dirn < 0)[:, None]
     p = jnp.where(neg_dir, jnp.flip(p, axis=1), p)
     t_seq = jnp.where(neg_dir, jnp.flip(t, axis=1), t)
 
@@ -378,8 +401,8 @@ def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
     def endpoint(idx: jax.Array) -> tuple[jax.Array, jax.Array]:
         tt = jnp.take_along_axis(
             t_seq, jnp.clip(idx, 0, S - 1)[:, None], axis=1)[:, 0]
-        ex = jnp.round(px + tt * vx).astype(jnp.int32)
-        ey = jnp.round(py + tt * vy).astype(jnp.int32)
+        ex = jnp.round(g.px + tt * g.vx).astype(jnp.int32)
+        ey = jnp.round(g.py + tt * g.vy).astype(jnp.int32)
         return jnp.clip(ex, 0, w - 1), jnp.clip(ey, 0, h - 1)
 
     x1, y1 = endpoint(start)
@@ -387,6 +410,42 @@ def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
     lines = jnp.stack([x1, y1, x2, y2], axis=1)
     ok = peak_ok & (best_len >= min_len)
     return lines, ok
+
+
+def _extract_segments_cols(planes: jax.Array, theta_idx: jax.Array,
+                           rho_idx: jax.Array, peak_ok: jax.Array,
+                           rho_offset: int, min_len: int, max_gap: jax.Array,
+                           n_steps: int, h: int,
+                           w: int) -> tuple[jax.Array, jax.Array]:
+    """Gather-free segment walk: axis-aligned one-hot row reduction.
+
+    Output-equivalent to ``_extract_segments`` (pinned by tests) but with
+    NO gather: because the L-inf walk steps the major axis by exactly
+    +-1, step index <-> major-axis pixel column is a bijection, so the
+    per-step sample is "pick one row per column" -- computed as a fused
+    compare-multiply-reduce over the packed plane instead of 131k
+    random-access gathers per chunk (the gather was 7.5 ms of a 22.5 ms
+    dense 8-frame chunk on v5e).
+
+    ``planes``: [2, S, S] uint8 -- pack_corners(img) zero-padded to S
+    (x-major walks, rows=y, cols=x) and pack_corners(img.T) (y-major,
+    rows=x, cols=y). NOTE the transposed plane carries corner bits 1 and
+    2 swapped (bit1 = (dx0, dy1)); _finish_segments' weight masks select
+    accordingly. The f32 sample coordinates are reconstructed from the
+    column index through the exact same px + t*v expressions as the
+    step-indexed walk (t is integer-valued f32 either way), so the
+    bilinear acceptance bits are bit-identical; run analysis happens in
+    walk order (a flip for negative-direction walks), preserving
+    argmax tie-breaks.
+
+    Split into _walk_geom -> pick -> _finish_segments so the TPU path
+    can swap the pick stage for the VMEM-resident Pallas kernel
+    (pallas_kernels.walk_pick_pallas, bit-equal by test).
+    """
+    S = planes.shape[-1]
+    g = _walk_geom(theta_idx, rho_idx, rho_offset, n_steps, h, w, S)
+    v = _picks_onehot(planes, g.r, g.xmaj)
+    return _finish_segments(v, g, peak_ok, min_len, max_gap, h, w)
 
 
 @functools.partial(
@@ -506,11 +565,30 @@ def hough_lines_batch(dst: jax.Array, max_gap: jax.Array, *, threshold: int,
             def extract_k(k: int):
                 # peaks are compacted (first-k valid), so slicing to k
                 # keeps ALL valid peaks whenever the count fits
-                lines_k, ok_k = jax.vmap(
-                    lambda pl2, t, r, o, g: _extract_segments_cols(
-                        pl2, t, r, o, rho_offset, min_len, g, n_steps,
-                        h, w))(
-                    planes, th_i[:, :k], rh_i[:, :k], pok[:, :k], gaps)
+                if vote_pallas:
+                    # VMEM-resident banded pick (equal to _picks_onehot
+                    # on every inp-kept column; geometry and run
+                    # analysis stay in cheap XLA)
+                    from .pallas_kernels import (_pick_row_bands,
+                                                 walk_pick_pallas)
+                    geom = jax.vmap(
+                        lambda t, r: _walk_geom(t, r, rho_offset, n_steps,
+                                                h, w, s_dim))(
+                        th_i[:, :k], rh_i[:, :k])
+                    r0 = jax.vmap(
+                        lambda r, ip: _pick_row_bands(r, ip, s_dim))(
+                        geom.r, geom.inp)
+                    v = walk_pick_pallas(planes, geom.r, geom.xmaj, r0)
+                    lines_k, ok_k = jax.vmap(
+                        lambda v_, g_, o, gap: _finish_segments(
+                            v_, g_, o, min_len, gap, h, w))(
+                        v, geom, pok[:, :k], gaps)
+                else:
+                    lines_k, ok_k = jax.vmap(
+                        lambda pl2, t, r, o, g: _extract_segments_cols(
+                            pl2, t, r, o, rho_offset, min_len, g, n_steps,
+                            h, w))(
+                        planes, th_i[:, :k], rh_i[:, :k], pok[:, :k], gaps)
                 pad_n = max_peaks - k
                 if pad_n:
                     lines_k = jnp.pad(lines_k, ((0, 0), (0, pad_n), (0, 0)))

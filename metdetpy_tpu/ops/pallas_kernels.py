@@ -321,6 +321,119 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# -- segment-walk pick: VMEM-resident one-hot row selection ------------------
+
+
+WALK_COL_TILE = 128   # columns per pick tile
+WALK_ROW_BAND = 256   # plane rows scanned per tile (>= 128-col row span)
+
+
+def _pick_row_bands(r: jax.Array, inp: jax.Array, s_dim: int) -> jax.Array:
+    """Per-(peak, col-tile) plane-row window start for the banded pick.
+
+    Because the walk's row index moves by at most 1 per column, the rows
+    touched by VALID columns of one WALK_COL_TILE-wide tile span <= 128
+    values, so a WALK_ROW_BAND-row window suffices. Invalid columns'
+    rows may fall outside the window -- their picks are garbage either
+    way and are masked by ``inp`` downstream (exactly as in the unbanded
+    form, whose out-of-plane rows pick 0). r: [K, S] i32; inp: [K, S]
+    bool. Returns [K, S / WALK_COL_TILE] i32 window starts.
+    """
+    k, s = r.shape
+    r_valid = jnp.where(inp, r, s_dim)  # +inf analog for the min
+    r_min = jnp.min(r_valid.reshape(k, s // WALK_COL_TILE, WALK_COL_TILE),
+                    axis=2)
+    r0 = jnp.clip(r_min, 0, max(s_dim - WALK_ROW_BAND, 0))
+    # Mosaic requires dynamic sublane starts to be PROVABLY tile-aligned,
+    # so the window start ships as a count of 32-row units (the kernel
+    # multiplies back -- 32*x is provably 8-aligned); rounding down costs
+    # <= 31 rows of the 256-128 band slack
+    return r0 >> 5
+
+
+WALK_PEAK_GROUP = 8   # peaks per program (static unroll; sublane-aligned)
+
+
+def _walk_pick_kernel(xmaj_ref, r0_ref, planes_ref, r_ref, out_ref, *,
+                      s_dim: int):
+    """v[k, c] = planes[xmaj_k ? 0 : 1][r[k, c], c] for one peak group.
+
+    The XLA one-hot form materializes [K, S, S] intermediates in HBM
+    (~0.33 ms/frame = 20.8 ms of the dense 64-frame block at K=64,
+    S=1024); here the compare-select-reduce runs entirely in VMEM over
+    the resident packed planes, each peak touches only ONE plane (a
+    lax.cond on an SMEM selector), and each column tile scans only a
+    WALK_ROW_BAND-row window around the line (the row index moves <= 1
+    per column, so a full-height scan wastes ~4x the work). Peaks are
+    statically unrolled within a WALK_PEAK_GROUP-sized grid block --
+    Mosaic forbids dynamic sublane indexing (loads and stores), so a
+    fori_loop over peaks cannot slice r/out rows at a traced index.
+    """
+    i = pl.program_id(0)
+    g = pl.program_id(1)
+    band = min(WALK_ROW_BAND, s_dim)
+    n_tiles = s_dim // WALK_COL_TILE
+    kg = r_ref.shape[1]
+
+    for kk in range(kg):  # static unroll
+        def pick(pi: int, kk=kk):
+            tiles = []
+            for j in range(n_tiles):  # static unroll
+                sl_j = slice(j * WALK_COL_TILE, (j + 1) * WALK_COL_TILE)
+                r_tile = r_ref[0, kk:kk + 1, sl_j]
+                # 32-row units -> provably 8-aligned sublane start
+                r0 = r0_ref[i, g * kg + kk, j] * 32
+                win = planes_ref[0, pi, pl.ds(r0, band), sl_j]
+                rows = (jax.lax.broadcasted_iota(
+                    jnp.int32, (band, WALK_COL_TILE), 0) + r0)
+                oh = rows == r_tile                   # [band, tile]
+                tiles.append(jnp.sum(
+                    jnp.where(oh, win.astype(jnp.int32), 0),
+                    axis=0, keepdims=True))           # [1, tile]
+            return jnp.concatenate(tiles, axis=1)     # [1, S]
+
+        v = jax.lax.cond(xmaj_ref[i, g * kg + kk] == 1,
+                         lambda kk=kk: pick(0, kk),
+                         lambda kk=kk: pick(1, kk))
+        out_ref[0, kk:kk + 1, :] = v
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def walk_pick_pallas(planes: jax.Array, r: jax.Array, xmaj: jax.Array,
+                     r0: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched per-column row-pick from the packed corner planes.
+
+    planes: [T, 2, S, S] uint8; r: [T, K, S] int32 row per column;
+    xmaj: [T, K] bool per-peak plane selector; r0: [T, K, S/128] i32
+    row-window starts in 32-row units from :func:`_pick_row_bands`.
+    Returns [T, K, S] int32, identical to hough._picks_onehot on every
+    column the walk keeps (pinned by tests; invalid columns may differ
+    and are masked). K must be a multiple of WALK_PEAK_GROUP.
+    """
+    t, k_peaks, s_dim = r.shape
+    assert k_peaks % WALK_PEAK_GROUP == 0, k_peaks
+    n_groups = k_peaks // WALK_PEAK_GROUP
+    return pl.pallas_call(
+        functools.partial(_walk_pick_kernel, s_dim=s_dim),
+        out_shape=jax.ShapeDtypeStruct((t, k_peaks, s_dim), jnp.int32),
+        grid=(t, n_groups),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [T, K] xmaj i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # [T, K, n_tiles] r0
+            # the plane block's index is g-invariant, so Pallas fetches
+            # it once per frame (g varies fastest)
+            pl.BlockSpec((1, 2, s_dim, s_dim), lambda i, g: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WALK_PEAK_GROUP, s_dim),
+                         lambda i, g: (i, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, WALK_PEAK_GROUP, s_dim),
+                               lambda i, g: (i, g, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xmaj.astype(jnp.int32), r0, planes, r)
+
+
 # -- Hough vote: VMEM-resident one-hot matmuls -------------------------------
 
 VOTE_THETA_CHUNK = 4  # thetas per program at N <= 8192 points

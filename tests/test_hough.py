@@ -165,3 +165,21 @@ def test_extract_cols_matches_gather_walk(rng):
         np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
         np.testing.assert_array_equal(np.asarray(l1)[np.asarray(o1)],
                                       np.asarray(l2)[np.asarray(o2)])
+
+
+def test_compact_indices_matches_nonzero():
+    """The binary-search compaction is exactly 'first k nonzero indices'
+    across densities, including the over-capacity and empty cases."""
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops.hough import _compact_indices
+
+    rng = np.random.default_rng(11)
+    for n, k, p in ((5000, 64, 0.002), (518400, 256, 0.0005),
+                    (1500, 32, 0.5), (700, 16, 0.0), (513, 8, 1.0)):
+        flat = (rng.random(n) < p).astype(np.uint8)
+        idx, valid = _compact_indices(jnp.asarray(flat), k)
+        idx, valid = np.asarray(idx), np.asarray(valid)
+        ref = np.nonzero(flat)[0][:k]
+        assert valid.sum() == len(ref)
+        np.testing.assert_array_equal(idx[: len(ref)], ref)
+        assert (idx[len(ref):] == -1).all()

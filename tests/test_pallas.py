@@ -163,3 +163,41 @@ def test_vote_theta_chunk_scales_with_point_budget():
     assert _vote_theta_chunk(32768) == 1
     for n in (256, 8192, 16384, 32768):
         assert 180 % _vote_theta_chunk(n) == 0
+
+
+def test_walk_pick_pallas_interpret_matches_onehot(rng):
+    """The banded VMEM-resident walk pick equals hough._picks_onehot on
+    every column the walk keeps (line-shaped row maps with |dr| <= 1 per
+    column like the real geometry, out-of-plane excursions masked by
+    inp, mixed plane selectors). Invalid columns are masked downstream
+    in both forms, so equality is asserted on v * inp."""
+    import jax
+    import jax.numpy as jnp
+    from metdetpy_tpu.ops import hough
+    from metdetpy_tpu.ops import pallas_kernels as pk
+
+    t, k, s = 3, 16, 384  # s > WALK_ROW_BAND exercises banding; k = 2 groups
+    planes = rng.integers(0, 16, (t, 2, s, s), dtype=np.uint8)
+    # line-shaped rows: r(c) = r_start + slope * c (|slope| <= 1), some
+    # running off the plane
+    cols = np.arange(s, dtype=np.float32)
+    r = np.zeros((t, k, s), np.int32)
+    inp = np.zeros((t, k, s), bool)
+    for ti in range(t):
+        for ki in range(k):
+            slope = rng.uniform(-1, 1)
+            r_start = rng.integers(-40, s + 40)
+            rr = np.floor(r_start + slope * cols).astype(np.int32)
+            r[ti, ki] = rr
+            lo, hi = sorted(rng.choice(s, 2, replace=False))
+            inp[ti, ki, lo:hi + 1] = (rr[lo:hi + 1] >= 0) \
+                & (rr[lo:hi + 1] < s)
+    xmaj = rng.integers(0, 2, (t, k)).astype(bool)
+    r0 = jax.vmap(lambda r_, ip: pk._pick_row_bands(r_, ip, s))(
+        jnp.asarray(r), jnp.asarray(inp))
+    got = pk.walk_pick_pallas(jnp.asarray(planes), jnp.asarray(r),
+                              jnp.asarray(xmaj), r0, interpret=True)
+    want = jax.vmap(hough._picks_onehot)(jnp.asarray(planes),
+                                         jnp.asarray(r), jnp.asarray(xmaj))
+    np.testing.assert_array_equal(np.asarray(got) * inp,
+                                  np.asarray(want) * inp)
