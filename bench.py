@@ -957,6 +957,12 @@ def _backend_watchdog():
 
 
 def main():
+    # bench stdout carries EXACTLY one JSON line; the pipeline's protocol
+    # logger defaults to stdout (like the reference CLI), so point it at
+    # stderr for every mode that drives detect_video
+    import functools
+    from metdetpy_tpu.log import get_default_logger
+    get_default_logger().print = functools.partial(print, file=sys.stderr)
     mode = os.environ.get("BENCH_MODE")
     if mode not in ("multistream_sharded", "dldet_sharded"):
         # the sharded modes pin a virtual CPU mesh BEFORE backend init and

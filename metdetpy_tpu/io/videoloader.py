@@ -666,6 +666,9 @@ class BlockVideoLoader(VanillaVideoLoader):
         # surfaced into the pipeline performance dict so the bench
         # roofline can decompose decode_wait into host work vs upload
         self.stage_stats: dict = {}
+        self._stop_requested = False
+        self._upload_queue = None
+        self._upload_thread = None
         super().__init__(*args, **kwargs)
 
     def clear_queue(self):
@@ -673,6 +676,14 @@ class BlockVideoLoader(VanillaVideoLoader):
             self.block_queue.get()
 
     def start(self):
+        # retire any uploader from a previous start() before resetting
+        # state, so a stale thread can't forward blocks or an EOS into
+        # the fresh queues
+        old_up = getattr(self, "_upload_thread", None)
+        if old_up is not None and old_up.is_alive():
+            self._stop_requested = True
+            self.clear_queue()
+            old_up.join(timeout=PUT_TIMEOUT)
         self.clear_queue()
         self.color_stacks.clear()
         self.stage_stats.clear()
@@ -681,6 +692,7 @@ class BlockVideoLoader(VanillaVideoLoader):
         self._dev_preproc_fn = None
         self._thread_exc = None
         self.read_stopped = False
+        self._stop_requested = False
         self.status = True
         self.video.set_to(self.start_frame)
         down2 = self._device_preproc_gate()
@@ -688,6 +700,21 @@ class BlockVideoLoader(VanillaVideoLoader):
                   if down2 is not None
                   and self._transport_prefers_device_preproc(down2)
                   else self._blockloop)
+        # async-upload mode: the decode thread hands completed blocks to
+        # a dedicated uploader thread, so codec decode and the staged
+        # h2d copy overlap instead of serializing in one thread (the
+        # upload IS the pipeline bound on slow links). Bounded to 3
+        # in-flight blocks: pooled buffers are only reused after
+        # pool_size (>= 12) newer blocks, so 3 queued + 1 staging can
+        # never alias a slot the decoder is refilling.
+        self._upload_queue = None
+        self._upload_thread = None
+        if self.device_put_mode and os.environ.get(
+                "METDETPY_TPU_ASYNC_UPLOAD", "1") != "0":
+            self._upload_queue = queue.Queue(maxsize=3)
+            self._upload_thread = threading.Thread(
+                target=self._uploadloop, daemon=True)
+            self._upload_thread.start()
         self.thread = threading.Thread(target=target, daemon=True)
         self.thread.start()
 
@@ -868,12 +895,7 @@ class BlockVideoLoader(VanillaVideoLoader):
                 self.logger.info("loader stats (raw): " + ", ".join(
                     f"{k}={v:.2f}" for k, v in stats.items()))
             self.read_stopped = True
-            for _ in range(120):
-                try:
-                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
-                    break
-                except queue.Full:
-                    continue
+            self._put_eos()
 
     def _blockloop(self):
         import os as _os
@@ -1088,15 +1110,7 @@ class BlockVideoLoader(VanillaVideoLoader):
             if pool is not None:
                 pool.shutdown(wait=False)
             self.read_stopped = True
-            # the EOS sentinel must not be dropped: with a fast producer
-            # the queue is routinely full here, and a lost None makes the
-            # consumer eat the full pop timeout at end of stream
-            for _ in range(120):
-                try:
-                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
-                    break
-                except queue.Full:
-                    continue
+            self._put_eos()
 
     def _put_block(self, block: np.ndarray) -> None:
         """Queue a completed block with indefinite backpressure: the
@@ -1104,29 +1118,22 @@ class BlockVideoLoader(VanillaVideoLoader):
         tunneled TPU), so a bounded put timeout must retry, not kill the
         decode thread. Stops promptly when the loader is stopped.
 
-        In device_put mode the block is uploaded HERE (decode thread) and
-        the queue carries (device_array, n_real) pairs; partial tail
-        blocks are padded to the fixed block shape by repeating the last
-        frame so every upload compiles to the same shape."""
+        In device_put mode the queue carries (device_array, n_real)
+        pairs; the staging copy runs in the uploader thread when one is
+        active (async-upload mode, overlapping decode with h2d) or
+        inline here otherwise."""
         if self.device_put_mode:
-            import time as _t
-
-            import jax
-            n_real = block.shape[0]
-            if n_real < self.block_frames:
-                pad = np.repeat(block[-1:], self.block_frames - n_real,
-                                axis=0)
-                block = np.concatenate([block, pad], axis=0)
-            t0 = _t.perf_counter()
-            dev = jax.device_put(block)
-            if self._dev_preproc_fn is not None:
-                # exact resize+gray on device (async jitted dispatch);
-                # downstream consumers see runtime-size gray blocks
-                dev = self._dev_preproc_fn(dev)
-            item = (dev, n_real)
-            st = self.stage_stats
-            st["h2d_s"] = st.get("h2d_s", 0.0) + _t.perf_counter() - t0
-            st["h2d_bytes"] = st.get("h2d_bytes", 0) + block.nbytes
+            uq = getattr(self, "_upload_queue", None)
+            if uq is not None:
+                item = (block, block.shape[0])
+                while True:
+                    try:
+                        uq.put(item, timeout=PUT_TIMEOUT)
+                        return
+                    except queue.Full:
+                        if self.read_stopped:
+                            raise
+            item = self._stage_block(block)
         else:
             item = block
         while True:
@@ -1136,6 +1143,83 @@ class BlockVideoLoader(VanillaVideoLoader):
             except queue.Full:
                 if self.read_stopped:
                     raise
+
+    def _stage_block(self, block: np.ndarray) -> tuple:
+        """Upload one block and dispatch the on-device preprocess.
+
+        Partial tail blocks are padded to the fixed block shape by
+        repeating the last frame so every upload compiles to the same
+        shape. jax.device_put returns once its staging copy is done, so
+        the pooled source buffer is immediately reusable."""
+        import time as _t
+
+        import jax
+        n_real = block.shape[0]
+        if n_real < self.block_frames:
+            pad = np.repeat(block[-1:], self.block_frames - n_real,
+                            axis=0)
+            block = np.concatenate([block, pad], axis=0)
+        t0 = _t.perf_counter()
+        dev = jax.device_put(block)
+        if self._dev_preproc_fn is not None:
+            # exact resize+gray on device (async jitted dispatch);
+            # downstream consumers see runtime-size gray blocks
+            dev = self._dev_preproc_fn(dev)
+        st = self.stage_stats
+        st["h2d_s"] = st.get("h2d_s", 0.0) + _t.perf_counter() - t0
+        st["h2d_bytes"] = st.get("h2d_bytes", 0) + block.nbytes
+        return (dev, n_real)
+
+    def _uploadloop(self):
+        """Uploader thread: stage blocks from the decode thread onto the
+        device and forward them in FIFO order. The decode loops always
+        deliver an EOS sentinel (None) through the upload queue, which
+        this loop converts into the block_queue's EOS -- so the sentinel
+        can never overtake an in-flight upload."""
+        try:
+            while True:
+                try:
+                    item = self._upload_queue.get(timeout=PUT_TIMEOUT)
+                except queue.Empty:
+                    if self._stop_requested:
+                        return
+                    continue  # decode loop always delivers the sentinel
+                if item is None:
+                    return
+                staged = self._stage_block(item[0])
+                while True:
+                    try:
+                        self.block_queue.put(staged, timeout=PUT_TIMEOUT)
+                        break
+                    except queue.Full:
+                        if self._stop_requested:
+                            return
+        except BaseException as exc:  # surface upload failures to pop_block
+            self._thread_exc = exc
+        finally:
+            for _ in range(120):
+                try:
+                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
+                    break
+                except queue.Full:
+                    if self._stop_requested:
+                        break
+
+    def _put_eos(self):
+        """Deliver the end-of-stream sentinel. It must not be dropped:
+        with a fast producer the queue is routinely full here, and a
+        lost None makes the consumer eat the full pop timeout at end of
+        stream. In async-upload mode it routes through the upload queue
+        so it stays ordered behind in-flight uploads."""
+        q = getattr(self, "_upload_queue", None)
+        if q is None:
+            q = self.block_queue
+        for _ in range(120):
+            try:
+                q.put(None, timeout=PUT_TIMEOUT)
+                return
+            except queue.Full:
+                continue
 
     def pop_block(self):
         """Return the next [T, H, W(, 3)] uint8 block of merged frames --
@@ -1187,11 +1271,18 @@ class BlockVideoLoader(VanillaVideoLoader):
         return self._pending.pop(0)
 
     def stop(self):
+        self._stop_requested = True
         self.read_stopped = True
 
     def release(self):
         super().release()
         self.clear_queue()
+        # the uploader may still hold references to pooled slots; wait
+        # for it before handing the pool buffers back to the lease cache
+        up = getattr(self, "_upload_thread", None)
+        if up is not None and up.is_alive():
+            self._stop_requested = True
+            up.join(timeout=PUT_TIMEOUT)
         leased = getattr(self, "_leased_pool", None)
         if leased is not None:
             self._leased_pool = None
