@@ -1010,49 +1010,26 @@ def main():
 
     cfg = build_cfg()
 
-    # device-only capability, slope-timed: chained dependencies plus one
-    # forcing fetch whose RTT cancels in the slope (see _chained_slope) --
-    # immune both to this tunnel's enqueue-time ready events and to its
-    # post-first-fetch synchronous dispatch mode, so ordering vs the
-    # other benches no longer matters. The accompanying hbm dict states
-    # the measured copy roofline and the step's cost in block-copies.
-    import cv2
-    small = np.stack([cv2.resize(f, (960, 540)) for f in frames[:256]])
-    device_fps, device_hbm = bench_device_only(small)
-    sys.stderr.write(f"[bench] device-only fused-step fps (quiet sky): "
-                     f"{device_fps:.1f}; hbm {device_hbm}\n")
+    # ---- e2e section FIRST, and its warmup fetch-free ----------------
+    # The tunnel's transport has two modes: until the process's first
+    # device->host fetch, staged uploads stream at full rate (~1.4 GB/s
+    # measured) and dispatches are async; the first fetch PERMANENTLY
+    # switches it to a synchronous per-chunk mode (~40 MB/s uploads).
+    # The pipeline's deferred collection keeps each run fetch-free until
+    # its single end-of-stream horizon fetch, so the FIRST timed pass
+    # runs entirely in the fast mode -- the mode a production local-PCIe
+    # deployment is always in -- and later passes measure the degraded
+    # tunnel mode. Both are recorded (best + median + per-pass list).
+    # The warmup pass compiles every pipeline shape (block step, device
+    # preprocess, the grouped collect stack) WITHOUT fetching, via the
+    # detectors' METDETPY_TPU_NO_FETCH compile-only mode.
+    os.environ["METDETPY_TPU_NO_FETCH"] = "1"
+    try:
+        warm = frames[: int(fps * 6)]
+        run(warm, cfg)
+    finally:
+        del os.environ["METDETPY_TPU_NO_FETCH"]
 
-    # ACTIVE-SKY worst case, same slope methodology
-    worst_fps, occupancy = bench_device_worstcase()
-    sys.stderr.write(f"[bench] device-only worst case (active sky): "
-                     f"{worst_fps:.1f} fps; occupancy {occupancy}\n")
-
-    # h2d transport probe: one timed block upload (the tunnel's staging
-    # copy completes during the call)
-    import jax
-    probe = np.ascontiguousarray(small[:64])
-    jax.block_until_ready(jax.device_put(probe))
-    t0 = time.time()
-    for _ in range(4):
-        jax.block_until_ready(jax.device_put(probe))
-    h2d_gbps = 4 * probe.nbytes / (time.time() - t0) / 1e9
-
-    # sustained throughput INCLUDING per-block packed readback (now in
-    # the synchronized post-fetch mode -- representative of e2e)
-    rb_fps, rb_mbps = bench_device_with_readback(small)
-    sys.stderr.write(f"[bench] device+readback sustained: {rb_fps:.1f} "
-                     f"fps ({rb_mbps:.2f} MB/s packed d2h)\n")
-
-    # warmup pass compiles all block-shape buckets (first TPU compile is
-    # slow; steady-state is what the metric measures)
-    warm = frames[: int(fps * 6)]
-    run(warm, cfg)
-
-    # this dev image is a microVM whose effective CPU speed swings >10x on
-    # minute scales (hypervisor steal + THP compaction episodes; measured
-    # 0.3ms vs 26ms for the same 0.5MB memcpy) and the TPU tunnel's d2h
-    # latency swings from ms to minutes -- so take the best of several
-    # passes and record a host-health probe alongside the result
     def host_memcpy_gbps():
         a = np.random.randint(0, 255, (8 << 20,), np.uint8)
         b = np.empty_like(a)
@@ -1081,6 +1058,42 @@ def main():
         f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
         f"host memcpy GB/s per pass {[round(x, 1) for x in health]}; "
         f"METEOR records: {n_meteors}\n")
+
+    # ---- device micro-benches (these fetch; they run in and measure
+    # the post-fetch transport mode, as they always effectively did) ---
+    # device-only capability, slope-timed: chained dependencies plus one
+    # forcing fetch whose RTT cancels in the slope (see _chained_slope) --
+    # immune both to this tunnel's enqueue-time ready events and to its
+    # post-first-fetch synchronous dispatch mode, so ordering vs the
+    # other benches no longer matters. The accompanying hbm dict states
+    # the measured copy roofline and the step's cost in block-copies.
+    import cv2
+    small = np.stack([cv2.resize(f, (960, 540)) for f in frames[:256]])
+    device_fps, device_hbm = bench_device_only(small)
+    sys.stderr.write(f"[bench] device-only fused-step fps (quiet sky): "
+                     f"{device_fps:.1f}; hbm {device_hbm}\n")
+
+    # ACTIVE-SKY worst case, same slope methodology
+    worst_fps, occupancy = bench_device_worstcase()
+    sys.stderr.write(f"[bench] device-only worst case (active sky): "
+                     f"{worst_fps:.1f} fps; occupancy {occupancy}\n")
+
+    # h2d transport probe: one timed block upload (the tunnel's staging
+    # copy completes during the call)
+    import jax
+    probe = np.ascontiguousarray(small[:64])
+    jax.block_until_ready(jax.device_put(probe))
+    t0 = time.time()
+    for _ in range(4):
+        jax.block_until_ready(jax.device_put(probe))
+    h2d_gbps = 4 * probe.nbytes / (time.time() - t0) / 1e9
+
+    # sustained throughput INCLUDING per-block packed readback (now in
+    # the synchronized post-fetch mode -- representative of the degraded
+    # tunnel mode)
+    rb_fps, rb_mbps = bench_device_with_readback(small)
+    sys.stderr.write(f"[bench] device+readback sustained: {rb_fps:.1f} "
+                     f"fps ({rb_mbps:.2f} MB/s packed d2h)\n")
 
     # ---- per-stage roofline (VERDICT r3 #1a): stage seconds from the
     # best pass's StageTimer + analytically exact byte counts, so the

@@ -376,12 +376,14 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
 
     device_mode = getattr(video_loader, "device_put_mode", False)
 
-    def dispatch(raw_block):
+    def dispatch(raw_block, submit=True):
         """Enqueue the device step for one block and hand the result
         handle to a collect worker. In loader device_put mode the block
         arrives as an already-uploaded, already-padded (device_array,
         n_real) pair (the decode thread overlapped the transfer);
-        otherwise pad + device_put here."""
+        otherwise pad + device_put here. With submit=False (deferred
+        collection) the raw handle is returned instead of a collect
+        future."""
         nonlocal use_async
         if device_mode:
             blk, n_real = raw_block
@@ -401,6 +403,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
             except NotImplementedError:
                 use_async = False
             else:
+                if not submit:
+                    return handle, blk, n_real, device_epoch
                 fut = executor.submit(detector.collect, handle)
                 return fut, blk, n_real, device_epoch
         return None, blk, n_real, device_epoch
@@ -458,9 +462,18 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
         timer.add_frames(n_real * e)
         if progress is not None:
             progress.update(n_real)
+        return emit_results(results, block, heartbeat=True)
+
+    def emit_results(results, block, heartbeat):
+        """Feed one block's per-frame results through the collector (and
+        visu/live pacing); shared by the incremental and deferred paths.
+        With heartbeat=False the Processing log lines are assumed to have
+        been emitted at dispatch time."""
+        nonlocal merged_idx
         for j, (lines, cates) in enumerate(results):
             i = start_frame + merged_idx * e
-            if work_mode == "backend" and merged_idx % eq_int_fps == 0:
+            if (heartbeat and work_mode == "backend"
+                    and merged_idx % eq_int_fps == 0):
                 logger.processing(str(frame2time(i, rt_param.fps)))
             if len(lines) or merged_idx % eq_int_fps == 0:
                 with timer.stage("collector_update"):
@@ -485,6 +498,89 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 time.sleep(expect - elapsed)
         return True
 
+    # Deferred collection (default for offline block runs on real
+    # hardware): dispatch every block of a horizon WITHOUT any
+    # device->host read, then collect the whole horizon with one stacked
+    # fetch per fixed group (detector.collect_many) -- host-device syncs
+    # leave the hot loop entirely. NOT default on the axon tunnel: there
+    # the transport buffers pre-fetch uploads client-side and the first
+    # fetch replays ALL buffered bytes through the degraded synchronous
+    # mode (measured: an 8-block horizon's end fetch = 265 MB at ~30
+    # MB/s, with occasional minutes-scale stalls), so one deferred fetch
+    # concentrates the tunnel's stall lottery instead of amortizing it.
+    # Live mode needs pacing, visual mode needs per-block host frames --
+    # both keep the incremental path. Override either way with
+    # METDETPY_TPU_DEFERRED_COLLECT=1/0.
+    def _default_deferred() -> str:
+        try:
+            import jax
+            return "0" if jax.devices()[0].platform == "axon" else "1"
+        except Exception:
+            return "1"
+    deferred = (use_async and not live_mode and not visual_mode
+                and hasattr(detector, "collect_many")
+                and _os.environ.get("METDETPY_TPU_DEFERRED_COLLECT",
+                                    _default_deferred()) != "0")
+    # horizon bound: handles are tiny, but the dispatched-but-unexecuted
+    # backlog pins uploaded blocks on device, so cap blocks per horizon
+    horizon = max(1, int(_os.environ.get("METDETPY_TPU_COLLECT_HORIZON",
+                                         128)))
+    pending: list = []
+    dispatched_merged = resume_idx
+
+    def zero_results(n_real):
+        return [(np.zeros((0, 4), int),
+                 np.zeros((0, detector.num_cls)))] * n_real
+
+    def flush_deferred():
+        """Collect every pending handle (one fetch), then emit in order.
+        On a horizon-fetch failure, fall back to per-block collection
+        with the same epoch-tagged recovery as the incremental path."""
+        nonlocal consecutive_failures, device_epoch
+        if not pending:
+            return True
+        entries = list(pending)
+        pending.clear()
+        try:
+            with timer.stage("collect"):
+                many = detector.collect_many([en[0] for en in entries])
+            consecutive_failures = 0
+        except Exception as exc:
+            logger.error(f"{exc!r} during horizon collect "
+                         f"({len(entries)} blocks); falling back to "
+                         f"per-block collection.")
+            many = []
+            for handle, n_real, epoch in entries:
+                try:
+                    with timer.stage("collect"):
+                        many.append(detector.collect(handle))
+                    consecutive_failures = 0
+                except Exception as exc2:
+                    if epoch < device_epoch:
+                        logger.warning(f"{exc2!r} on a pre-reset "
+                                       f"inflight block; dropped.")
+                    else:
+                        consecutive_failures += 1
+                        logger.error(
+                            f"{exc2!r} while collecting a frame block; "
+                            f"resetting device state and continuing "
+                            f"({consecutive_failures} consecutive "
+                            f"failure(s)).")
+                        if consecutive_failures >= 3 or not hasattr(
+                                detector, "reset_device_state"):
+                            raise
+                        detector.reset_device_state()
+                        device_epoch += 1
+                    many.append(zero_results(n_real))
+        for (handle, n_real, epoch), results in zip(entries, many):
+            timer.add_frames(n_real * e)
+            if progress is not None:
+                progress.update(n_real)
+            if emit_results(results[:n_real], None,
+                            heartbeat=False) is False:
+                return False
+        return True
+
     stopped = False
     try:
         while not stopped:
@@ -492,12 +588,37 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 raw_block = video_loader.pop_block()
             if raw_block is None:
                 break
-            with timer.stage("dispatch"):
-                inflight.append(dispatch(raw_block))
-            while len(inflight) >= pipeline_depth:
-                if consume(inflight.popleft()) is False:
+            if deferred:
+                with timer.stage("dispatch"):
+                    entry = dispatch(raw_block, submit=False)
+                if not use_async:
+                    # detector can't run async: abandon deferred mode
+                    # (pending is empty -- the fallback raises on the
+                    # first dispatch, before anything was deferred)
+                    deferred = False
+                    stopped = flush_deferred() is False
+                    inflight.append(entry)
+                    continue
+                handle, _blk, n_real, epoch = entry
+                if hasattr(detector, "handle_slim"):
+                    handle = detector.handle_slim(handle)
+                if work_mode == "backend":
+                    # heartbeat at dispatch granularity (results arrive
+                    # in a burst at the horizon fetch)
+                    logger.processing(str(frame2time(
+                        start_frame + dispatched_merged * e,
+                        rt_param.fps)))
+                dispatched_merged += n_real
+                pending.append((handle, n_real, epoch))
+                if len(pending) >= horizon and not flush_deferred():
                     stopped = True
-                    break
+            else:
+                with timer.stage("dispatch"):
+                    inflight.append(dispatch(raw_block))
+                while len(inflight) >= pipeline_depth:
+                    if consume(inflight.popleft()) is False:
+                        stopped = True
+                        break
             if (checkpoint_path and not stopped
                     and time.time() - last_ckpt >= checkpoint_interval_sec):
                 # drain the pipeline BEFORE snapshotting: detector device
@@ -505,6 +626,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 # with blocks still inflight would be ahead of the
                 # collector/frame cursor, and a resume would replay frames
                 # against a window history containing their own future
+                if deferred:
+                    stopped = flush_deferred() is False
                 while inflight:
                     if consume(inflight.popleft()) is False:
                         stopped = True
@@ -515,6 +638,8 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                         save_checkpoint(checkpoint_path, detector,
                                         collector, merged_idx)
                     last_ckpt = time.time()
+        if not stopped and deferred:
+            stopped = flush_deferred() is False
         while inflight and not stopped:
             if consume(inflight.popleft()) is False:
                 break

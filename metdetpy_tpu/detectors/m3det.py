@@ -297,8 +297,60 @@ class LineDetector(BaseDetector):
 
     def collect(self, handle: Any) -> list[FrameResult]:
         """Fetch a dispatched block's results (one host transfer)."""
-        packed_dev, dst_dev = handle
-        buf = np.asarray(packed_dev)
+        return self._collect_from_buf(np.asarray(handle[0]), handle)
+
+    def collect_many(self, handles: list) -> list[list[FrameResult]]:
+        """Collect a whole horizon of dispatched blocks with one
+        device->host fetch per fixed-size GROUP: the per-block packed
+        results are stacked on device (an async dispatch) and read back
+        as single arrays.
+
+        This is the deferred-collection primitive (api._run_block_loop):
+        on a tunneled backend the process's FIRST d2h fetch permanently
+        drops the transport into a synchronous per-chunk mode (~30x
+        slower uploads, measured), so the pipeline dispatches every
+        block of a horizon fetch-free and pays the mode switch once, at
+        the end -- and on any backend it collapses per-block fetch round
+        trips into one per group. The group size is FIXED (tail groups
+        pad by repeating a handle) so exactly one stack program compiles
+        regardless of horizon or video length.
+
+        METDETPY_TPU_NO_FETCH=1 turns this into a compile-only warmup:
+        the stack program is built and readied but nothing crosses to
+        host (zero results are returned) -- the bench uses it to compile
+        every pipeline shape without tripping the tunnel's post-fetch
+        transport mode before the timed passes."""
+        if not handles:
+            return []
+        group = max(1, int(os.environ.get("METDETPY_TPU_COLLECT_GROUP",
+                                          8)))
+        no_fetch = bool(os.environ.get("METDETPY_TPU_NO_FETCH"))
+        bufs: list[np.ndarray] = []
+        for a in range(0, len(handles), group):
+            grp = [h[0] for h in handles[a:a + group]]
+            k = len(grp)
+            while len(grp) < group:
+                grp.append(grp[0])  # pad: dropped after fetch
+            stacked = jnp.stack(grp)
+            if no_fetch:
+                jax.block_until_ready(stacked)
+                bufs.extend(np.zeros(stacked.shape[1:],
+                                     stacked.dtype) for _ in range(k))
+            else:
+                arr = np.asarray(stacked)
+                bufs.extend(arr[i] for i in range(k))
+        return [self._collect_from_buf(bufs[i], h)
+                for i, h in enumerate(handles)]
+
+    def handle_slim(self, handle: Any) -> Any:
+        """Drop the visu plane (a full [T, H, W] dst block) from a
+        dispatched handle; deferred collection keeps many handles alive
+        and only needs the tiny packed result."""
+        return (handle[0], None) + tuple(handle[2:])
+
+    def _collect_from_buf(self, buf: np.ndarray,
+                          handle: Any) -> list[FrameResult]:
+        dst_dev = handle[1]
         lines, valid, extras = _unpack(buf, self.max_peaks)
         self.snr = float(extras[-1, 3])
         self.bi_threshold_float = float(extras[-1, 4])
@@ -379,7 +431,7 @@ class M3Detector(LineDetector):
         from ..visu import ImgVisuAttrs, TextColorPair, TextVisu
         state = self._visu_state
         out = []
-        if "dst" in state:
+        if state.get("dst") is not None:
             out.append(ImgVisuAttrs("mix_bg",
                                     img=np.asarray(state["dst"][-1]) // 255,
                                     weight=0.5, color="yellow"))
@@ -497,9 +549,10 @@ class ClassicDetector(LineDetector):
         self.timer += block.shape[0]
         return packed, dst, warmup_start
 
-    def collect(self, handle: Any) -> list[FrameResult]:
-        packed, dst, warmup_start = handle
-        results = super().collect((packed, dst))
+    def _collect_from_buf(self, buf: np.ndarray,
+                          handle: Any) -> list[FrameResult]:
+        results = super()._collect_from_buf(buf, handle)
+        warmup_start = handle[2]
         # no detection until the 4-frame window is full
         for t in range(len(results)):
             if warmup_start + t + 1 < self.CLASSIC_WINDOW:

@@ -89,7 +89,11 @@ def test_device_failure_recovery(synth_frames, monkeypatch):
     """A transient device/backend fault mid-run (the tunneled TPU throws
     occasional FAILED_PRECONDITION) must not kill detection: the block
     loop drops the failed block, resets the detector's device state and
-    continues; the meteor in a later block is still found."""
+    continues; the meteor in a later block is still found.
+
+    Exercises the INCREMENTAL collect pipeline (per-block fetch faults);
+    the deferred-collection path has its own tests below."""
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "0")
     from metdetpy_tpu.detectors.m3det import M3Detector
 
     orig_collect = M3Detector.collect
@@ -128,6 +132,7 @@ def test_persistent_device_failure_aborts(synth_frames, monkeypatch):
         raise RuntimeError("persistent backend failure")
 
     monkeypatch.setattr(M3Detector, "collect", always_fail)
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "0")
     monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "8")
     monkeypatch.setenv("METDETPY_TPU_PIPELINE_DEPTH", "2")
     cfg = _base_cfg()
@@ -161,8 +166,62 @@ def test_transient_fault_does_not_abort_deep_pipeline(synth_frames,
 
     monkeypatch.setattr(M3Detector, "collect", flaky_collect)
     monkeypatch.setattr(M3Detector, "reset_device_state", counting_reset)
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "0")
     monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "16")
     monkeypatch.setenv("METDETPY_TPU_PIPELINE_DEPTH", "4")
     cfg = _base_cfg()
     mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
     assert state["resets"] == 1, state
+
+
+def test_deferred_collect_finds_meteor(synth_frames, monkeypatch):
+    """The deferred-collection path (one stacked fetch per horizon,
+    api._run_block_loop flush_deferred) finds the same meteor, including
+    across multiple small horizons."""
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "1")
+    monkeypatch.setenv("METDETPY_TPU_COLLECT_HORIZON", "2")
+    monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "32")
+    cfg = _base_cfg()
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1
+
+
+def test_deferred_horizon_fault_falls_back_per_block(synth_frames,
+                                                     monkeypatch):
+    """When the horizon's stacked fetch fails, flush_deferred falls back
+    to per-block collection: failing blocks are zero-filled with one
+    device reset, surviving blocks keep their results, and detection
+    continues."""
+    from metdetpy_tpu.detectors.m3det import LineDetector, M3Detector
+
+    orig_collect = M3Detector.collect
+    state = {"many": 0, "calls": 0, "resets": 0}
+
+    def failing_collect_many(self, handles):
+        state["many"] += 1
+        raise RuntimeError("injected horizon fetch failure")
+
+    def flaky_collect(self, handle):
+        state["calls"] += 1
+        if state["calls"] == 1:  # first block (pre-meteor) fails too
+            raise RuntimeError("injected FAILED_PRECONDITION")
+        return orig_collect(self, handle)
+
+    orig_reset = M3Detector.reset_device_state
+
+    def counting_reset(self):
+        state["resets"] += 1
+        return orig_reset(self)
+
+    monkeypatch.setattr(LineDetector, "collect_many", failing_collect_many)
+    monkeypatch.setattr(M3Detector, "collect", flaky_collect)
+    monkeypatch.setattr(M3Detector, "reset_device_state", counting_reset)
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "1")
+    cfg = _base_cfg()
+    mdrf = detect_video(synth_frames, None, cfg, work_mode="backend")
+    assert state["many"] >= 1 and state["resets"] == 1, state
+    meteors = [t for rec in mdrf.results for t in rec.target
+               if t.category == "METEOR"]
+    assert len(meteors) >= 1, "meteor lost after recovered horizon fault"
