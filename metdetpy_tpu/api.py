@@ -522,9 +522,13 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 and _os.environ.get("METDETPY_TPU_DEFERRED_COLLECT",
                                     _default_deferred()) != "0")
     # horizon bound: handles are tiny, but the dispatched-but-unexecuted
-    # backlog pins uploaded blocks on device, so cap blocks per horizon
+    # backlog pins uploaded blocks on device, so cap blocks per horizon;
+    # detectors whose handles pin big device arrays (MLDetector's color
+    # stacks) declare a tighter cap
     horizon = max(1, int(_os.environ.get("METDETPY_TPU_COLLECT_HORIZON",
                                          128)))
+    horizon = min(horizon, getattr(detector, "max_deferred_horizon",
+                                   horizon))
     pending: list = []
     dispatched_merged = resume_idx
 

@@ -93,6 +93,63 @@ class MLDetector(BaseDetector):
         return self._orient_results(
             stacks_dev, self.model.collect_batch_device(model_handle))
 
+    # the deferred-collection horizon keeps every handle's window-max
+    # stacks alive on device ([T, H, W, 3] each, ~100 MB per 64-frame
+    # 540p color block) until the flush -- bound the backlog well under
+    # HBM (api._run_block_loop clamps its horizon to this)
+    max_deferred_horizon = 16
+
+    def collect_many(self, handles: list) -> list[list[FrameResult]]:
+        """Deferred-collection primitive (api._run_block_loop): stack
+        each pyramid level's compacted candidates ACROSS the horizon's
+        handles and fetch them as single arrays -- L*2 fetches per fixed
+        GROUP of blocks instead of L per block (and zero fetches in the
+        hot dispatch loop). The host postprocess then runs per block on
+        the prefetched buffers through the model's normal collect path
+        (np.asarray on a numpy array is a no-op).
+
+        METDETPY_TPU_NO_FETCH=1: compile-only warmup -- ready the
+        stacked arrays, fetch nothing, return empty results."""
+        import os
+        if not handles:
+            return []
+        group = max(1, int(os.environ.get("METDETPY_TPU_COLLECT_GROUP",
+                                          8)))
+        no_fetch = bool(os.environ.get("METDETPY_TPU_NO_FETCH"))
+        n_levels = len(handles[0][1][6])
+        # fetched[i] = per-handle list of (sel, n_above) numpy pairs
+        fetched: list[list] = [[] for _ in handles]
+        for a in range(0, len(handles), group):
+            grp = handles[a:a + group]
+            k = len(grp)
+            while len(grp) < group:
+                grp.append(grp[0])  # pad: dropped after fetch
+            for lv in range(n_levels):
+                sel = jnp.stack([h[1][6][lv][1] for h in grp])
+                n_above = jnp.stack([jnp.asarray(h[1][6][lv][2])
+                                     for h in grp])
+                if no_fetch:
+                    jax.block_until_ready((sel, n_above))
+                    continue
+                sel_np = np.asarray(sel)
+                na_np = np.asarray(n_above)
+                for i in range(k):
+                    fetched[a + i].append((sel_np[i], na_np[i]))
+        if no_fetch:
+            b = handles[0][1][1]
+            empty = [(np.zeros((0, 4), int),
+                      np.zeros((0, self.num_cls)))] * b
+            return [list(empty) for _ in handles]
+        out = []
+        for i, (stacks_dev, mh) in enumerate(handles):
+            single_scale, b, h, w, tflag, k_budget, outs = mh
+            outs_np = [(outs[lv][0], fetched[i][lv][0], fetched[i][lv][1])
+                       for lv in range(n_levels)]
+            out.append(self._orient_results(
+                stacks_dev, self.model.collect_batch_device(
+                    (single_scale, b, h, w, tflag, k_budget, outs_np))))
+        return out
+
     def process_block(self, block: np.ndarray) -> list[FrameResult]:
         try:
             return self.collect(self.process_block_async(block))

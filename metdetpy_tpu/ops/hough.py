@@ -106,17 +106,25 @@ def _compact_indices(flat01: jax.Array, k: int) -> tuple[jax.Array,
     base = jnp.sum(mask * row_tot[None, :], axis=1).astype(jnp.int32)
     row_idx = jnp.clip(row_idx, 0, x2.shape[0] - 1)
     local_target = targets - base
-    # gather the RAW uint8 bit-rows (4x less gather traffic than the
-    # previous i32 cumsum-row gather -- the row gather was ~11 ms/block
-    # at [8192, 512] i32) and prefix-sum only the k gathered rows; the
-    # full-array within-row cumsum is never materialized at all. The
-    # prefix runs as ONE bf16 matmul against a triangular ones matrix --
-    # exact (0/1 operands, f32 accumulation, sums <= 512 << 2^24) and
-    # measured 7.3x faster than jnp.cumsum's log-pass materializations
-    # (1.39 vs 10.1 ms per 64x[8192, 512] block on v5e)
-    rows8 = jnp.take(x2, row_idx, axis=0)        # [k, row] u8 row gather
+    # NO GATHER anywhere: the per-target row data comes from a one-hot
+    # row-select MATMUL instead. XLA's TPU lowering of even a u8 row
+    # gather ([k, 512] via jnp.take) measured 6.1 ms/block on the dense
+    # worst case -- 72% of the whole compaction -- while the same
+    # selection as two MXU matmuls runs it in ~1.7 ms
+    # (tools/profile_compaction_alt.py: 8.44 -> 5.08 ms/block,
+    # bit-identical outputs):
+    #   w_all  = x2 @ tri     within-row inclusive prefix for ALL rows
+    #   rows   = rowsel @ w_all   one-hot row selection (exact: a single
+    #            nonzero term per output -- no accumulation rounding)
+    # 0/1 bf16 operands with f32 accumulation keep w_all exact
+    # (sums <= 512 << 2^24).
     tri = jnp.triu(jnp.ones((row, row), jnp.bfloat16))  # tri[c', c] = c'<=c
-    row_within = lax.dot_general(rows8.astype(jnp.bfloat16), tri,
+    w_all = lax.dot_general(x2.astype(jnp.bfloat16), tri,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    rowsel = (row_idx[:, None]
+              == jnp.arange(x2.shape[0])[None, :]).astype(jnp.bfloat16)
+    row_within = lax.dot_general(rowsel, w_all,
                                  (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     col_idx = jnp.sum(row_within < local_target.astype(jnp.float32)[:, None],

@@ -461,6 +461,39 @@ def test_mldetector_async_pipeline_matches_sync():
         np.testing.assert_allclose(cls_a, cls_s, rtol=1e-6)
 
 
+def test_mldetector_collect_many_matches_collect():
+    """Deferred horizon collection (MLDetector.collect_many: grouped
+    per-level stacked fetches) must equal per-block collect exactly,
+    including across a group pad (2 handles, group size 8)."""
+    from metdetpy_tpu.detectors.mldet import MLDetector
+    from metdetpy_tpu.log import get_default_logger
+    from metdetpy_tpu.structs import DLCfg
+
+    imgs = _streak_test_imgs()
+    block1 = np.stack([imgs[0] // 4, imgs[0], imgs[0] // 2, imgs[1]])
+    block2 = np.stack([imgs[1], imgs[0] // 3, imgs[1] // 2, imgs[0]])
+    cfg = DLCfg.from_dict({"model": {
+        "name": "YOLOModel", "weight_path": "weights/yolov5s_v5.flax.npz",
+        "dtype": "float32", "nms": True, "warmup": False, "pos_thre": 0.25,
+        "nms_thre": 0.45, "multiscale_pred": 1, "multiscale_partition": 2,
+        "input_hw": "320x320"}})
+    mask = np.ones((180, 320, 3), np.uint8)
+    det_a = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                       cfg=cfg, logger=get_default_logger())
+    det_b = MLDetector(window_sec=1.0, fps=2.0, mask=mask, num_cls=9,
+                       cfg=cfg, logger=get_default_logger())
+    det_b.model = det_a.model  # share weights
+    many = det_a.collect_many([det_a.process_block_async(block1),
+                               det_a.process_block_async(block2)])
+    ref = [det_b.collect(det_b.process_block_async(block1)),
+           det_b.collect(det_b.process_block_async(block2))]
+    assert any(len(pos) for blk in many for pos, _ in blk)
+    for blk_m, blk_r in zip(many, ref):
+        for (pos_m, cls_m), (pos_r, cls_r) in zip(blk_m, blk_r):
+            np.testing.assert_array_equal(pos_m, pos_r)
+            np.testing.assert_allclose(cls_m, cls_r, rtol=1e-6)
+
+
 def test_batch_pipeline_matches_direct():
     """BatchPipeline (dispatch/collect overlap for the photo loops) must
     return exactly forward_batch's results, tagged, in submission order,
