@@ -119,14 +119,22 @@ def _compact_indices(flat01: jax.Array, k: int) -> tuple[jax.Array,
     # 0/1 bf16 operands with f32 accumulation keep w_all exact
     # (sums <= 512 << 2^24).
     tri = jnp.triu(jnp.ones((row, row), jnp.bfloat16))  # tri[c', c] = c'<=c
-    w_all = lax.dot_general(x2.astype(jnp.bfloat16), tri,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    rowsel = (row_idx[:, None]
-              == jnp.arange(x2.shape[0])[None, :]).astype(jnp.bfloat16)
-    row_within = lax.dot_general(rowsel, w_all,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+    if x2.shape[0] <= 2048:
+        w_all = lax.dot_general(x2.astype(jnp.bfloat16), tri,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        rowsel = (row_idx[:, None]
+                  == jnp.arange(x2.shape[0])[None, :]).astype(jnp.bfloat16)
+        row_within = lax.dot_general(rowsel, w_all,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+    else:
+        # matmul row-selection scales with R (k*R*row FLOPs); past the
+        # ~measured crossover the u8 row gather (R-independent) wins
+        rows8 = jnp.take(x2, row_idx, axis=0)    # [k, row] u8 row gather
+        row_within = lax.dot_general(rows8.astype(jnp.bfloat16), tri,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
     col_idx = jnp.sum(row_within < local_target.astype(jnp.float32)[:, None],
                       axis=1).astype(jnp.int32)
     idx = row_idx * row + jnp.clip(col_idx, 0, row - 1)
