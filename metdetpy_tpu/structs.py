@@ -34,10 +34,38 @@ def _build(tp: Any, value: Any) -> Any:
     if tp is Any or tp is None:
         return value
     if origin is Union:
-        # Optional[...] and discriminated unions: try each member in order.
-        last_err: Optional[Exception] = None
         if value is None and type(None) in args:
             return None
+        # Dataclass unions (e.g. DetectorCfg.cfg: Union[BinaryCfg, DLCfg])
+        # are discriminated EXPLICITLY by field shape rather than
+        # first-successful-build: every required field of the winner must
+        # be present and it must match strictly more of the dict's keys
+        # than any other member -- so adding an optional field to one
+        # member can never silently flip which member a config builds as
+        # (the reference's dacite has exactly that first-match fragility,
+        # MetLib/metstruct.py:394).
+        dc_members = [m for m in args if dataclasses.is_dataclass(m)]
+        if isinstance(value, dict) and len(dc_members) >= 2:
+            keys = set(value)
+            scored = []
+            for m in dc_members:
+                fields = dataclasses.fields(m)
+                required = {f.name for f in fields
+                            if f.default is dataclasses.MISSING
+                            and f.default_factory is dataclasses.MISSING}
+                if not required <= keys:
+                    continue
+                scored.append((len({f.name for f in fields} & keys), m))
+            if scored:
+                scored.sort(key=lambda s: s[0], reverse=True)
+                if len(scored) > 1 and scored[0][0] == scored[1][0]:
+                    raise StructError(
+                        f"ambiguous Union {tp}: {value!r} matches "
+                        f"{scored[0][1].__name__} and "
+                        f"{scored[1][1].__name__} equally well")
+                return _build(scored[0][1], value)
+        # Optional[...] / primitive unions: try each member in order.
+        last_err: Optional[Exception] = None
         for member in args:
             if member is type(None):
                 continue
@@ -60,11 +88,11 @@ def _build(tp: Any, value: Any) -> Any:
         if not isinstance(value, dict):
             raise StructError(f"expected dict for {tp}, got {type(value)}")
         fields = {f.name: f for f in dataclasses.fields(tp)}
+        hints = _field_types(tp)
         kwargs: dict[str, Any] = {}
         for name, f in fields.items():
             if name in value:
-                kwargs[name] = _build(f.type if not isinstance(f.type, str)
-                                      else _resolve_type(tp, f.type), value[name])
+                kwargs[name] = _build(hints.get(name, f.type), value[name])
             elif (f.default is dataclasses.MISSING
                   and f.default_factory is dataclasses.MISSING):  # type: ignore
                 raise StructError(f"missing required field {tp.__name__}.{name}")
@@ -83,10 +111,20 @@ def _build(tp: Any, value: Any) -> Any:
     raise StructError(f"cannot build {tp} from {value!r} ({type(value)})")
 
 
-def _resolve_type(owner: type, annotation: str) -> Any:
-    """Resolve string annotations against this module's namespace."""
-    module = typing.sys.modules[owner.__module__]  # type: ignore[attr-defined]
-    return eval(annotation, vars(module))  # noqa: S307 (trusted module scope)
+_HINTS_CACHE: dict[type, dict[str, Any]] = {}
+
+
+def _field_types(tp: type) -> dict[str, Any]:
+    """Resolved field annotations for a dataclass, cached per class.
+
+    ``from __future__ import annotations`` stringifies every annotation;
+    ``typing.get_type_hints`` is the stdlib's sanctioned resolver for
+    them (no ad-hoc eval of annotation text)."""
+    hints = _HINTS_CACHE.get(tp)
+    if hints is None:
+        hints = typing.get_type_hints(tp)
+        _HINTS_CACHE[tp] = hints
+    return hints
 
 
 def from_dict(data_class: type, data: dict[str, Any]) -> Any:

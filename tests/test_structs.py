@@ -34,6 +34,41 @@ def test_main_cfg_union_discrimination_dldet():
     assert cfg.detector.cfg.model.name == "YOLOModel"
 
 
+def test_union_discrimination_is_shape_scored():
+    """Union members are picked by required-field coverage + overlap score,
+    not first-successful-build, so a DLCfg dict can never be swallowed by
+    BinaryCfg (and vice versa) even with extra keys present."""
+    import dataclasses
+    import typing
+
+    import pytest
+
+    from metdetpy_tpu import structs
+
+    @dataclasses.dataclass
+    class A(structs.DictAble):
+        shared: int
+        only_a: int = 0
+
+    @dataclasses.dataclass
+    class B(structs.DictAble):
+        shared: int
+        only_b: int = 0
+
+    @dataclasses.dataclass
+    class Holder(structs.DictAble):
+        cfg: typing.Union[A, B]
+
+    # typing.get_type_hints must resolve the local names
+    structs._HINTS_CACHE[Holder] = {"cfg": typing.Union[A, B]}
+    built = structs._build(typing.Union[A, B], {"shared": 1, "only_b": 2})
+    assert isinstance(built, B) and built.only_b == 2
+    built = structs._build(typing.Union[A, B], {"shared": 1, "only_a": 3})
+    assert isinstance(built, A) and built.only_a == 3
+    with pytest.raises(structs.StructError, match="ambiguous"):
+        structs._build(typing.Union[A, B], {"shared": 1})
+
+
 def test_mdrf_roundtrip():
     tgt = MDTarget(
         start_frame=10, start_time="00:00:01.000", end_time="00:00:02.000",
