@@ -1023,12 +1023,23 @@ def main():
     # The warmup pass compiles every pipeline shape (block step, device
     # preprocess, the grouped collect stack) WITHOUT fetching, via the
     # detectors' METDETPY_TPU_NO_FETCH compile-only mode.
+    # Deferred collection must be ON for the warmup regardless of the
+    # platform default (axon defaults it off): the incremental collect
+    # path fetches per block via np.asarray, which would trip the
+    # transport into its degraded post-fetch mode BEFORE the timed
+    # passes (ADVICE r4). collect_many honors NO_FETCH.
     os.environ["METDETPY_TPU_NO_FETCH"] = "1"
+    prev_deferred = os.environ.get("METDETPY_TPU_DEFERRED_COLLECT")
+    os.environ["METDETPY_TPU_DEFERRED_COLLECT"] = "1"
     try:
         warm = frames[: int(fps * 6)]
         run(warm, cfg)
     finally:
         del os.environ["METDETPY_TPU_NO_FETCH"]
+        if prev_deferred is None:
+            del os.environ["METDETPY_TPU_DEFERRED_COLLECT"]
+        else:
+            os.environ["METDETPY_TPU_DEFERRED_COLLECT"] = prev_deferred
 
     def host_memcpy_gbps():
         a = np.random.randint(0, 255, (8 << 20,), np.uint8)

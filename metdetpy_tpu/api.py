@@ -24,6 +24,16 @@ from .utils import (LIVE_MODE_SPEED_CTRL_CONST, VERSION, frame2time, frame2ts,
                     get_clip_config_path, get_num_class)
 from .visu import OpenCVMetVisu, TextColorPair, TextVisu
 
+# Platforms whose transport buffers pre-fetch uploads client-side and
+# REPLAYS them through a degraded synchronous mode on the process's
+# first d2h fetch (measured on the axon tunnel: 265 MB at ~30 MB/s with
+# minutes-scale stalls concentrated in that one call) -- deferred
+# horizon collection defaults OFF there so the stall lottery amortizes
+# over incremental fetches. Any other transport (incl. local PCIe)
+# defaults ON: fewer host-device syncs always wins when fetches are
+# cheap. New tunneled transports opt out by joining this list.
+BUFFERED_REPLAY_PLATFORMS = ("axon",)
+
 
 def detect_video(video_name: str, mask_name: Optional[str],
                  cfg: MainDetectCfg, debug_mode: bool = False,
@@ -514,13 +524,19 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
     def _default_deferred() -> str:
         try:
             import jax
-            return "0" if jax.devices()[0].platform == "axon" else "1"
+            platform = jax.devices()[0].platform
         except Exception:
             return "1"
+        return "0" if platform in BUFFERED_REPLAY_PLATFORMS else "1"
+    deferred_env = _os.environ.get("METDETPY_TPU_DEFERRED_COLLECT")
+    deferred_choice = (deferred_env if deferred_env is not None
+                       else _default_deferred())
     deferred = (use_async and not live_mode and not visual_mode
                 and hasattr(detector, "collect_many")
-                and _os.environ.get("METDETPY_TPU_DEFERRED_COLLECT",
-                                    _default_deferred()) != "0")
+                and deferred_choice != "0")
+    logger.debug(
+        f"Deferred collection: {'on' if deferred else 'off'} "
+        f"({'env override' if deferred_env is not None else 'platform default'})")
     # horizon bound: handles are tiny, but the dispatched-but-unexecuted
     # backlog pins uploaded blocks on device, so cap blocks per horizon;
     # detectors whose handles pin big device arrays (MLDetector's color

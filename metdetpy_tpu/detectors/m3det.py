@@ -333,12 +333,21 @@ class LineDetector(BaseDetector):
                 grp.append(grp[0])  # pad: dropped after fetch
             stacked = jnp.stack(grp)
             if no_fetch:
+                # compile-only warmup: ready the stack program, fetch
+                # nothing, and return zero FrameResults DIRECTLY -- a
+                # fabricated zero buffer through the stateful
+                # _collect_from_buf would overwrite the detector's
+                # snr/bi_threshold host shadows with decoded zeros
+                # (ADVICE r4)
                 jax.block_until_ready(stacked)
-                bufs.extend(np.zeros(stacked.shape[1:],
-                                     stacked.dtype) for _ in range(k))
+                t_block = int(stacked.shape[1])
+                zero = (np.zeros((0, 4), int), np.zeros((0, self.num_cls)))
+                bufs.extend([zero] * t_block for _ in range(k))
             else:
                 arr = np.asarray(stacked)
                 bufs.extend(arr[i] for i in range(k))
+        if no_fetch:
+            return bufs[: len(handles)]
         return [self._collect_from_buf(bufs[i], h)
                 for i, h in enumerate(handles)]
 

@@ -669,6 +669,7 @@ class BlockVideoLoader(VanillaVideoLoader):
         self._stop_requested = False
         self._upload_queue = None
         self._upload_thread = None
+        self._upload_stop = None
         super().__init__(*args, **kwargs)
 
     def clear_queue(self):
@@ -677,13 +678,23 @@ class BlockVideoLoader(VanillaVideoLoader):
 
     def start(self):
         # retire any uploader from a previous start() before resetting
-        # state, so a stale thread can't forward blocks or an EOS into
-        # the fresh queues
+        # state. The uploader captures its queues + stop event as locals
+        # at thread start, so even a stale thread that outlives the join
+        # (device_put on a tunneled transport can stall for minutes) can
+        # never forward blocks or an EOS into the fresh run's queues; it
+        # may still READ pooled buffers though, so if it survives the
+        # bounded join the old buffer lease is abandoned rather than
+        # returned to the shared cache (see release()).
         old_up = getattr(self, "_upload_thread", None)
         if old_up is not None and old_up.is_alive():
+            if self._upload_stop is not None:
+                self._upload_stop.set()
             self._stop_requested = True
             self.clear_queue()
             old_up.join(timeout=PUT_TIMEOUT)
+            if old_up.is_alive() and getattr(self, "_leased_pool",
+                                             None) is not None:
+                self._leased_pool = None  # leak, don't alias
         self.clear_queue()
         self.color_stacks.clear()
         self.stage_stats.clear()
@@ -709,11 +720,16 @@ class BlockVideoLoader(VanillaVideoLoader):
         # never alias a slot the decoder is refilling.
         self._upload_queue = None
         self._upload_thread = None
+        self._upload_stop = None
         if self.device_put_mode and os.environ.get(
                 "METDETPY_TPU_ASYNC_UPLOAD", "1") != "0":
             self._upload_queue = queue.Queue(maxsize=3)
+            self._upload_stop = threading.Event()
             self._upload_thread = threading.Thread(
-                target=self._uploadloop, daemon=True)
+                target=self._uploadloop,
+                args=(self._upload_queue, self.block_queue,
+                      self._upload_stop),
+                daemon=True)
             self._upload_thread.start()
         self.thread = threading.Thread(target=target, daemon=True)
         self.thread.start()
@@ -1170,18 +1186,24 @@ class BlockVideoLoader(VanillaVideoLoader):
         st["h2d_bytes"] = st.get("h2d_bytes", 0) + block.nbytes
         return (dev, n_real)
 
-    def _uploadloop(self):
+    def _uploadloop(self, upload_queue, block_queue, stop_evt):
         """Uploader thread: stage blocks from the decode thread onto the
         device and forward them in FIFO order. The decode loops always
         deliver an EOS sentinel (None) through the upload queue, which
         this loop converts into the block_queue's EOS -- so the sentinel
-        can never overtake an in-flight upload."""
+        can never overtake an in-flight upload.
+
+        Queues and the stop event are bound as ARGUMENTS at thread
+        creation: a retired uploader that outlives its bounded join (a
+        tunnel-stalled device_put) keeps talking to its own run's dead
+        queues and can never steal blocks from, reorder, or inject a
+        stray EOS into a successor run (ADVICE r4 medium)."""
         try:
             while True:
                 try:
-                    item = self._upload_queue.get(timeout=PUT_TIMEOUT)
+                    item = upload_queue.get(timeout=PUT_TIMEOUT)
                 except queue.Empty:
-                    if self._stop_requested:
+                    if stop_evt.is_set():
                         return
                     continue  # decode loop always delivers the sentinel
                 if item is None:
@@ -1189,21 +1211,25 @@ class BlockVideoLoader(VanillaVideoLoader):
                 staged = self._stage_block(item[0])
                 while True:
                     try:
-                        self.block_queue.put(staged, timeout=PUT_TIMEOUT)
+                        block_queue.put(staged, timeout=PUT_TIMEOUT)
                         break
                     except queue.Full:
-                        if self._stop_requested:
+                        if stop_evt.is_set():
                             return
         except BaseException as exc:  # surface upload failures to pop_block
-            self._thread_exc = exc
+            if not stop_evt.is_set():
+                self._thread_exc = exc
         finally:
+            # a retired thread must not signal EOS -- its successor owns
+            # the stream now
             for _ in range(120):
+                if stop_evt.is_set():
+                    break
                 try:
-                    self.block_queue.put(None, timeout=PUT_TIMEOUT)
+                    block_queue.put(None, timeout=PUT_TIMEOUT)
                     break
                 except queue.Full:
-                    if self._stop_requested:
-                        break
+                    pass
 
     def _put_eos(self):
         """Deliver the end-of-stream sentinel. It must not be dropped:
@@ -1273,6 +1299,8 @@ class BlockVideoLoader(VanillaVideoLoader):
     def stop(self):
         self._stop_requested = True
         self.read_stopped = True
+        if self._upload_stop is not None:
+            self._upload_stop.set()
 
     def release(self):
         super().release()
@@ -1281,11 +1309,17 @@ class BlockVideoLoader(VanillaVideoLoader):
         # for it before handing the pool buffers back to the lease cache
         up = getattr(self, "_upload_thread", None)
         if up is not None and up.is_alive():
+            if self._upload_stop is not None:
+                self._upload_stop.set()
             self._stop_requested = True
             up.join(timeout=PUT_TIMEOUT)
         leased = getattr(self, "_leased_pool", None)
         if leased is not None:
             self._leased_pool = None
+            if up is not None and up.is_alive():
+                # stalled uploader may still read these slots: abandon
+                # the lease instead of recycling aliased buffers
+                return
             _return_block_pool(*leased)
 
     @property

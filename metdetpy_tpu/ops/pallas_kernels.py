@@ -408,12 +408,23 @@ def walk_pick_pallas(planes: jax.Array, r: jax.Array, xmaj: jax.Array,
     row-window starts in 32-row units from :func:`_pick_row_bands`.
     Returns [T, K, S] int32, identical to hough._picks_onehot on every
     column the walk keeps (pinned by tests; invalid columns may differ
-    and are masked). K must be a multiple of WALK_PEAK_GROUP.
+    and are masked). K is padded up to the next WALK_PEAK_GROUP multiple
+    internally (the XLA fallback path never needed the alignment, so the
+    TPU path must not crash on e.g. K=20 either -- ADVICE r4).
     """
     t, k_peaks, s_dim = r.shape
-    assert k_peaks % WALK_PEAK_GROUP == 0, k_peaks
+    k_pad = -k_peaks % WALK_PEAK_GROUP
+    if k_pad:
+        r = jnp.concatenate(
+            [r, jnp.broadcast_to(r[:, :1], (t, k_pad, s_dim))], axis=1)
+        xmaj = jnp.concatenate(
+            [xmaj, jnp.broadcast_to(xmaj[:, :1], (t, k_pad))], axis=1)
+        r0 = jnp.concatenate(
+            [r0, jnp.broadcast_to(r0[:, :1], (t, k_pad, r0.shape[2]))],
+            axis=1)
+        k_peaks += k_pad
     n_groups = k_peaks // WALK_PEAK_GROUP
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_walk_pick_kernel, s_dim=s_dim),
         out_shape=jax.ShapeDtypeStruct((t, k_peaks, s_dim), jnp.int32),
         grid=(t, n_groups),
@@ -432,6 +443,7 @@ def walk_pick_pallas(planes: jax.Array, r: jax.Array, xmaj: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(xmaj.astype(jnp.int32), r0, planes, r)
+    return out[:, :k_peaks - k_pad] if k_pad else out
 
 
 # -- Hough vote: VMEM-resident one-hot matmuls -------------------------------

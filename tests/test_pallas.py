@@ -201,3 +201,14 @@ def test_walk_pick_pallas_interpret_matches_onehot(rng):
                                          jnp.asarray(r), jnp.asarray(xmaj))
     np.testing.assert_array_equal(np.asarray(got) * inp,
                                   np.asarray(want) * inp)
+
+    # K not a multiple of WALK_PEAK_GROUP pads internally instead of
+    # asserting (ADVICE r4): same inputs truncated to K=11
+    k_odd = 11
+    got_odd = pk.walk_pick_pallas(
+        jnp.asarray(planes), jnp.asarray(r[:, :k_odd]),
+        jnp.asarray(xmaj[:, :k_odd]), r0[:, :k_odd], interpret=True)
+    assert got_odd.shape == (t, k_odd, s)
+    np.testing.assert_array_equal(
+        np.asarray(got_odd) * inp[:, :k_odd],
+        np.asarray(want)[:, :k_odd] * inp[:, :k_odd])
