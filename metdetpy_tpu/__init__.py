@@ -30,12 +30,14 @@ def _loaders():
 
 
 def _wrappers():
+    from .io.mjpgavi import MJPGAVIVideoWrapper
     from .io.videowrapper import (NumpyVideoWrapper, OpenCVVideoWrapper,
                                   PyAVVideoWrapper)
     return {
         "OpenCVVideoWrapper": OpenCVVideoWrapper,
         "PyAVVideoWrapper": PyAVVideoWrapper,
         "NumpyVideoWrapper": NumpyVideoWrapper,
+        "MJPGAVIVideoWrapper": MJPGAVIVideoWrapper,
     }
 
 
