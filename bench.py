@@ -63,8 +63,6 @@ def bench_multistream():
     The metric is aggregate detection frames/sec; per-stream detection is
     validated by requiring Hough lines in the meteor window on every
     stream."""
-    from collections import deque
-    from concurrent.futures import ThreadPoolExecutor
     import cv2
     from metdetpy_tpu.detectors.m3det import M3Detector
     from metdetpy_tpu.log import BaseMetLog
@@ -112,51 +110,90 @@ def bench_multistream():
                        interpolation=cv2.INTER_LINEAR)
         return blk
 
-    detectors[0].process_block(block_of(0, 0))  # compile warmup
+    # compile warmup: one block step + the grouped-collect stack program
+    wh = detectors[0].process_block_async(block_of(0, 0))
+    os.environ["METDETPY_TPU_NO_FETCH"] = "1"
+    try:
+        detectors[0].collect_many([detectors[0].handle_slim(wh)])
+    finally:
+        del os.environ["METDETPY_TPU_NO_FETCH"]
 
     # meteor window in merged-frame indices (detection check per stream)
     met_lo, met_hi = int(2.0 * fps), int(5.0 * fps)
     hits = [False] * n_streams
 
-    def collect_and_check(det, si, pos, handle):
-        for t, (lines, _) in enumerate(det.collect(handle)):
-            if len(lines) and met_lo <= pos + t <= met_hi:
-                hits[si] = True
-
     passes = int(os.environ.get("BENCH_PASSES", 3))
     pass_fps = []
-    ex = ThreadPoolExecutor(max_workers=4)
+    pass_stages = []
+    n_frames_total = n_streams * n_frames
     for _ in range(passes):
+        # deferred collection across ALL streams: dispatch every block of
+        # the pass fetch-free (handles slimmed to the packed result),
+        # then one grouped device->host fetch per stream -- per-block
+        # fetch round trips (8 streams x n_blocks RTTs on a ~30 ms
+        # tunnel) collapse into n_streams grouped reads
         t0 = time.time()
-        futures: "deque" = deque()
+        resize_s = dispatch_s = 0.0
+        handles: list[list] = [[] for _ in range(n_streams)]
         for pos in range(0, n_frames, block_frames):
-            for si, (det, stream) in enumerate(zip(detectors, streams)):
-                handle = det.process_block_async(block_of(si, pos))
-                futures.append(ex.submit(collect_and_check, det, si, pos,
-                                         handle))
-                while len(futures) >= 2 * n_streams:
-                    futures.popleft().result()
-        while futures:
-            futures.popleft().result()
+            for si, det in enumerate(detectors):
+                tr = time.perf_counter()
+                blk = block_of(si, pos)
+                td = time.perf_counter()
+                resize_s += td - tr
+                hd = det.process_block_async(blk)
+                handles[si].append((pos, det.handle_slim(hd)))
+                dispatch_s += time.perf_counter() - td
+        tc = time.perf_counter()
+        for si, det in enumerate(detectors):
+            many = det.collect_many([h for _, h in handles[si]])
+            for (pos, _), results in zip(handles[si], many):
+                for t, (lines, _) in enumerate(results):
+                    if len(lines) and met_lo <= pos + t <= met_hi:
+                        hits[si] = True
+        collect_s = time.perf_counter() - tc
         dt = time.time() - t0
-        fps_agg = n_streams * n_frames / dt
-        sys.stderr.write(f"[bench:multistream] pass {fps_agg:.1f} fps\n")
+        fps_agg = n_frames_total / dt
+        # per-stage bound arithmetic (mirrors the headline stages block):
+        # stages overlap in steady state, so project on the slowest
+        h2d_bytes = n_frames_total * h * w  # analysis-res gray u8
+        pcie_s = h2d_bytes / 8e9
+        proj_stage = {"host_preproc": resize_s, "link_pcie": pcie_s}
+        bound_name = max(proj_stage, key=proj_stage.get)
+        pass_stages.append({
+            "wall_s": round(dt, 3),
+            "resize_s": round(resize_s, 3),
+            "dispatch_s": round(dispatch_s, 3),
+            "collect_s": round(collect_s, 3),
+            "h2d_bytes": h2d_bytes,
+            "effective_h2d_mbps": round(
+                h2d_bytes / max(dt - resize_s - collect_s, 1e-6) / 1e6, 1),
+            "projected_fps_local_pcie": round(
+                n_frames_total / max(max(proj_stage.values()), 1e-6), 1),
+            "projected_bound_stage": bound_name,
+        })
+        sys.stderr.write(f"[bench:multistream] pass {fps_agg:.1f} fps "
+                         f"{pass_stages[-1]}\n")
         pass_fps.append(fps_agg)
     best = max(pass_fps)
     med = sorted(pass_fps)[len(pass_fps) // 2]
     label = "2160p" if four_k else "540p"
     print(json.dumps({
         "metric": f"{n_streams}x{label}_multistream_agg_fps_per_chip",
-        "value": round(best, 2),
+        "value": round(med, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(best / REFERENCE_FPS, 2),
-        "protocol": f"best of {passes} passes; median also recorded",
-        "value_median": round(med, 2),
+        "vs_baseline": round(med / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} passes; best as value_best",
+        "value_best": round(best, 2),
         "passes_fps": [round(x, 2) for x in pass_fps],
         "input_resolution": f"{in_w}x{in_h}",
         "analysis_resolution": f"{w}x{h}",
         "streams_with_meteor_lines": int(sum(hits)),
         "n_streams": n_streams,
+        # stages of the MEDIAN pass (the one `value` reports)
+        "stages": pass_stages[
+            pass_fps.index(sorted(pass_fps)[len(pass_fps) // 2])],
+        "stages_all_passes": pass_stages,
     }))
 
 
@@ -581,13 +618,14 @@ def bench_dldet():
          "loader_preproc", "loader_merge", "loader_qput", "loader_h2d_s",
          "loader_h2d_bytes", "loader_loop_wall")
         if perf.get(k) is not None}
+    med = pass_fps[len(pass_fps) // 2]
     print(json.dumps({
         "metric": "1080p_dldet_fps_per_chip",
-        "value": round(value, 2),
+        "value": round(med, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(value / REFERENCE_FPS, 2),
-        "protocol": f"best of {passes} passes; median also recorded",
-        "value_median": round(pass_fps[len(pass_fps) // 2], 2),
+        "vs_baseline": round(med / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} passes; best as value_best",
+        "value_best": round(value, 2),
         "passes_fps": [round(x, 2) for x in pass_fps],
         "meteor_found": n_meteors >= 1,
         "detector": "MLDetector(yolov5s_v5 flax, bf16, 320x320)",
@@ -657,13 +695,14 @@ def bench_high_mask():
                      f"{[round(n_frames / e, 1) for e, _ in results]} fps; "
                      f"METEOR records: {n_meteors}\n")
     pass_fps = sorted(n_frames / e for e, _ in results)
+    med = pass_fps[len(pass_fps) // 2]
     print(json.dumps({
         "metric": "1080p_m3det_high_masked_fps_per_chip",
-        "value": round(value, 2),
+        "value": round(med, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(value / REFERENCE_FPS, 2),
-        "protocol": f"best of {passes} passes; median also recorded",
-        "value_median": round(pass_fps[len(pass_fps) // 2], 2),
+        "vs_baseline": round(med / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} passes; best as value_best",
+        "value_best": round(value, 2),
         "passes_fps": [round(x, 2) for x in pass_fps],
         "meteor_found": n_meteors >= 1,
         "config": "m3det_high + bottom-quarter ROI mask",
@@ -708,12 +747,14 @@ def bench_photo():
         return time.time() - t0
 
     one_pass()  # compiles
-    passes = int(os.environ.get("BENCH_PASSES", 2))
-    elapsed = min(one_pass() for _ in range(passes))
+    passes = int(os.environ.get("BENCH_PASSES", 3))
+    elapsed_passes = sorted(one_pass() for _ in range(passes))
+    elapsed = elapsed_passes[len(elapsed_passes) // 2]
     value = n_imgs / elapsed
     with open("/tmp/bench_photo.json") as f:
         n_results = len(json.load(f)["results"])
-    sys.stderr.write(f"[bench:photo] {n_imgs} imgs in {elapsed:.1f}s; "
+    sys.stderr.write(f"[bench:photo] {n_imgs} imgs, passes "
+                     f"{[round(e, 1) for e in elapsed_passes]} s; "
                      f"{n_results} result records\n")
     print(json.dumps({
         "metric": "1080p_photo_folder_imgs_per_sec",
@@ -722,6 +763,8 @@ def bench_photo():
         # reference photo-mode has no published number; vs_baseline
         # reuses the video-fps baseline for scale only
         "vs_baseline": round(value / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} passes; best as value_best",
+        "value_best": round(n_imgs / elapsed_passes[0], 2),
         "n_images": n_imgs,
         "result_records": n_results,
     }))
@@ -769,14 +812,27 @@ def bench_denoise():
         cv2.imwrite("/tmp/bench_denoise_out.jpg", img)
         return time.time() - t0
 
+    from metdetpy_tpu.ops import stack_device
+
     max_fn = max_stacker
     mfnr_fn = lambda ld: mfnr_mix_stacker(ld, denoise_cfg)  # noqa: E731
-    device_used = _device_denoise_wins(loader())
+    device_used = _device_denoise_wins(loader(), denoise_cfg)
     export(max_fn)   # warm decode caches
     export(mfnr_fn)  # warm device compiles out of the timed passes
-    t_max = min(export(max_fn) for _ in range(2))
-    t_mfnr = min(export(mfnr_fn) for _ in range(2))
+    passes = int(os.environ.get("BENCH_PASSES", 3))
+    t_max_passes = sorted(export(max_fn) for _ in range(passes))
+    t_mfnr_passes = sorted(export(mfnr_fn) for _ in range(passes))
+    # the device-path stage split of the LAST mfnr pass (placement mode,
+    # decode+accumulate, upload bytes, on-device math+fetch)
+    dev_stages = dict(stack_device.last_run_stats) if device_used else {}
+    t_max = t_max_passes[len(t_max_passes) // 2]
+    t_mfnr = t_mfnr_passes[len(t_mfnr_passes) // 2]
     ratio = t_mfnr / t_max
+    ratio_best = t_mfnr_passes[0] / t_max_passes[0]
+    sys.stderr.write(f"[bench:denoise] max passes "
+                     f"{[round(x, 2) for x in t_max_passes]} s; mfnr "
+                     f"passes {[round(x, 2) for x in t_mfnr_passes]} s; "
+                     f"device stages {dev_stages}\n")
     print(json.dumps({
         "metric": "mfnr_mix_vs_full_max_export_cost_ratio",
         "value": round(ratio, 2),
@@ -785,9 +841,14 @@ def bench_denoise():
         # (decode+encode included, reference docs/update-log.md:154);
         # same denominator here
         "vs_baseline": round(5.0 / ratio, 2),
+        "protocol": f"median of {passes} passes (value_best = best/best)",
+        "value_best": round(ratio_best, 2),
         "t_max_export_s": round(t_max, 3),
         "t_mfnr_export_s": round(t_mfnr, 3),
+        "t_max_passes_s": [round(x, 3) for x in t_max_passes],
+        "t_mfnr_passes_s": [round(x, 3) for x in t_mfnr_passes],
         "device_pixel_math": bool(device_used),
+        "stages": dev_stages,
         "clip": "64x1080p color mp4, decode via OpenCV/FFmpeg",
     }))
 
@@ -849,11 +910,11 @@ def bench_recheck():
                      f"records: {n_meteors}; rechecked: {n_rechecked}\n")
     print(json.dumps({
         "metric": "1080p_detect_recheck_on_fps_per_chip",
-        "value": round(best_on, 2),
+        "value": round(med_on, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(best_on / REFERENCE_FPS, 2),
-        "protocol": f"best of {passes} passes; median also recorded",
-        "value_median": round(med_on, 2),
+        "vs_baseline": round(med_on / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} passes; best as value_best",
+        "value_best": round(best_on, 2),
         "passes_fps": [round(x, 2) for x in on_fps],
         "recheck_off_fps_best": round(best_off, 2),
         "recheck_off_fps_median": round(med_off, 2),
@@ -1175,13 +1236,16 @@ def main():
 
     print(json.dumps({
         "metric": "1080p_detect_fps_per_chip",
-        "value": round(value, 2),
+        # the headline value is the MEDIAN of the timed passes (best is
+        # value_best): a consumer comparing rounds by `value` reads the
+        # typical rate, not the luckiest window
+        "value": round(value_median, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(value / REFERENCE_FPS, 2),
-        "protocol": f"best of {passes} timed passes (warmup pass "
-                    f"excluded); median also recorded",
-        "value_median": round(value_median, 2),
-        "vs_baseline_median": round(value_median / REFERENCE_FPS, 2),
+        "vs_baseline": round(value_median / REFERENCE_FPS, 2),
+        "protocol": f"median of {passes} timed passes (warmup pass "
+                    f"excluded); best recorded as value_best",
+        "value_best": round(value, 2),
+        "vs_baseline_best": round(value / REFERENCE_FPS, 2),
         "passes_fps": [round(x, 2) for x in pass_fps],
         "device_only_fps": round(device_fps, 2),
         "device_only_vs_baseline": round(device_fps / REFERENCE_FPS, 2),

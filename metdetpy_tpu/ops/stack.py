@@ -207,7 +207,14 @@ def _probe_link_bps() -> tuple[float, float]:
     Only called from export-path decisions where a device round trip is
     on the table anyway (the probe itself performs one d2h read, which on
     the tunneled dev runtime switches dispatch to its synchronous mode --
-    never call this from the detection hot path)."""
+    never call this from the detection hot path).
+
+    The tunneled link's instantaneous throughput swings >10x on second
+    scales (relay batching + host steal); a single-shot probe landing in
+    a degraded window would misplace a multi-second job onto the host.
+    Probe three times and keep the BEST rate per direction — the job
+    itself rides many windows, so capability (not the instant) is the
+    right input to the placement estimate."""
     global _LINK_BPS_CACHE
     if _LINK_BPS_CACHE is None:
         import time as _t
@@ -215,15 +222,18 @@ def _probe_link_bps() -> tuple[float, float]:
         import jax
         np.asarray(jax.device_put(np.zeros((64, 64), np.uint8)))  # warm
         up = np.zeros((4, 1080, 1920), np.uint8)
-        t0 = _t.perf_counter()
-        dev = jax.device_put(up)
-        dev.block_until_ready()
-        t_up = _t.perf_counter() - t0
-        t0 = _t.perf_counter()
-        down = np.asarray(dev[:2])
-        t_down = _t.perf_counter() - t0
-        _LINK_BPS_CACHE = (up.nbytes / max(t_up, 1e-9),
-                           down.nbytes / max(t_down, 1e-9))
+        best_up = best_down = 0.0
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            dev = jax.device_put(up)
+            dev.block_until_ready()
+            t_up = _t.perf_counter() - t0
+            t0 = _t.perf_counter()
+            down = np.asarray(dev[:2])
+            t_down = _t.perf_counter() - t0
+            best_up = max(best_up, up.nbytes / max(t_up, 1e-9))
+            best_down = max(best_down, down.nbytes / max(t_down, 1e-9))
+        _LINK_BPS_CACHE = (best_up, best_down)
     return _LINK_BPS_CACHE
 
 
@@ -435,15 +445,21 @@ def connect_highlight_area(light_img: np.ndarray, light_diff_img: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _device_denoise_wins(video_loader) -> bool:
+def _device_denoise_wins(video_loader, denoise_cfg=None) -> bool:
     """Transport-aware placement of the MFNR pixel math.
 
-    The device path uploads the whole clip (iterations * frame bytes);
-    the host pixel math costs roughly 35 ms/1080p-frame on one healthy
-    core (measured: 2.3 s of pixel math for a 64-frame stack). Prefer
-    the accelerator when the probed link can carry the clip faster than
-    that host estimate. ``METDETPY_TPU_DEVICE_DENOISE`` = ``force``/``0``
-    overrides the probe."""
+    With a stack-free background ("mean", the global/clip_cfg.json
+    default) the device path can run in host-reduced mode — stream the
+    (max, sum, sqsum) reduction on host during decode and upload just
+    the three planes (9 B/px) instead of every frame — so the link cost
+    is a constant ~56 MB at 1080p and the device pixel math (Gumbel
+    correction, feather blur, blend) wins on any link that can carry
+    that in less than the host's own stage-math time (measured 1.5–5 s
+    at 64×1080p depending on host health). Stack-needing backgrounds
+    (median/sigma-clipping) must upload the whole clip, so they compare
+    full clip bytes against the host pixel-math estimate.
+    ``METDETPY_TPU_DEVICE_DENOISE`` = ``force``/``0`` overrides the
+    probe."""
     import os
     mode = os.environ.get("METDETPY_TPU_DEVICE_DENOISE", "auto")
     if mode == "0":
@@ -456,9 +472,22 @@ def _device_denoise_wins(video_loader) -> bool:
             return False  # "device" is the same host core: no win
         w, h = video_loader.runtime_size
         frames = video_loader.iterations
-        upload_bytes = frames * h * w * 3
+        bg_algo = (denoise_cfg.mfnr_param.bg_algorithm
+                   if denoise_cfg is not None else None)
+        px_scale = h * w / (1920 * 1080)
         h2d, _ = _probe_link_bps()
-        host_est_s = frames * (h * w / (1920 * 1080)) * 0.035
+        if bg_algo == "mean":
+            # host-reduced upload: 9 B/px once + the final u8 readback;
+            # host keeps the streaming accumulate either way, so the
+            # comparison is link time vs the host's stage math (~1.5 s
+            # healthy / ~5 s degraded at 64x1080p; use the healthy
+            # figure — erring toward host only when the link is truly
+            # dead)
+            upload_bytes = 9 * h * w * 3
+            host_stage_est_s = 1.5 * px_scale
+            return upload_bytes / h2d < host_stage_est_s
+        upload_bytes = frames * h * w * 3
+        host_est_s = frames * px_scale * 0.035
         return upload_bytes / h2d < host_est_s
     except Exception:
         return False
@@ -487,7 +516,7 @@ def mfnr_mix_stacker(video_loader, denoise_cfg: DenoiseOption,
     by the Gumbel expected maximum, feather the foreground mask, and blend
     max + mean images (reference MetLib/stacker.py:296-403)."""
     logger = get_useable_logger(logger)
-    if _device_denoise_wins(video_loader):
+    if _device_denoise_wins(video_loader, denoise_cfg):
         from .stack_device import mfnr_mix_device
         try:
             return mfnr_mix_device(video_loader, denoise_cfg, start_frame,

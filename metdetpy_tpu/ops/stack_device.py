@@ -35,6 +35,11 @@ from ..structs import DenoiseOption
 
 DEVICE_BLOCK = 16  # frames uploaded per carry update
 
+# stage accounting of the most recent mfnr_mix_device run (placement
+# mode, per-stage seconds, uploaded bytes) -- read by bench/denoise
+# artifacts; best-effort, not part of the public API
+last_run_stats: dict = {}
+
 
 def _gaussian_kernel_f32(ksize: int, sigma: float) -> np.ndarray:
     """cv2.getGaussianKernel coefficients (the exact taps GaussianBlur
@@ -140,6 +145,58 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     dev_blocks: list[Any] = []
     pend: list[np.ndarray] = []
 
+    # For the "mean" background the stack itself is never needed on
+    # device -- only the (max, sum, sqsum) reduction planes feed the
+    # pixel math. Streaming that reduction on the HOST during decode and
+    # uploading just the three planes (9 B/px, ~56 MB at 64x1080p color)
+    # instead of every frame (3 B/px/frame, ~398 MB) is the
+    # transport-aware placement for slow links; on a fast link the
+    # device accumulate wins (no host passes at all). Decided per run
+    # from a measured host-accumulate pilot vs the probed link rate.
+    import os as _os
+    host_reduce = False
+    hr_env = _os.environ.get("METDETPY_TPU_MFNR_HOST_REDUCE")
+    if not keep_stack and hr_env is not None:
+        host_reduce = hr_env != "0"
+    elif not keep_stack:
+        try:
+            h2d, _ = hs._probe_link_bps()
+            w_, h_ = video_loader.runtime_size
+            frames_total = video_loader.iterations
+            full_bytes = frames_total * h_ * w_ * 3
+            red_bytes = 9 * h_ * w_ * 3
+            # pilot: accumulate 2 synthetic frames at runtime size
+            import time as _t
+            pf = np.zeros((h_, w_, 3), np.uint8)
+            pmx = np.zeros_like(pf)
+            ps = np.zeros((h_, w_, 3), np.uint32)
+            psq = np.zeros((h_, w_, 3), np.uint32)
+            ptmp = np.empty((h_, w_, 3), np.uint32)
+            t0 = _t.perf_counter()
+            for _ in range(2):
+                np.maximum(pmx, pf, out=pmx)
+                ptmp[:] = pf
+                ps += ptmp
+                ptmp *= ptmp
+                psq += ptmp
+            t_acc_frame = (_t.perf_counter() - t0) / 2
+            t_full = full_bytes / h2d
+            t_red = red_bytes / h2d + frames_total * t_acc_frame
+            host_reduce = t_red < t_full
+            logger.debug(
+                f"MFNR placement: host-accumulate pilot "
+                f"{t_acc_frame * 1e3:.1f} ms/frame, link "
+                f"{h2d / 1e6:.0f} MB/s -> "
+                f"{'host-reduced' if host_reduce else 'full'} upload "
+                f"(est {min(t_red, t_full):.2f}s vs "
+                f"{max(t_red, t_full):.2f}s).")
+        except Exception:
+            host_reduce = False
+    hmx = hs_ = hsq = htmp = None
+    last_run_stats.clear()
+    last_run_stats["placement"] = ("host-reduced-upload" if host_reduce
+                                   else "full-upload")
+
     def flush():
         nonlocal mx, s, sq, n
         if not pend:
@@ -156,20 +213,51 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
         n += len(pend)
         pend.clear()
 
+    import time as _time
+    t_loop0 = _time.perf_counter()
     try:
         video_loader.start()
         for _ in range(video_loader.iterations):
             frame = video_loader.pop()
             if frame is None:
                 break
+            if host_reduce:
+                f = np.asarray(frame)
+                if hmx is None:
+                    hmx = np.zeros_like(f)
+                    hs_ = np.zeros(f.shape, np.uint32)
+                    hsq = np.zeros(f.shape, np.uint32)
+                    htmp = np.empty(f.shape, np.uint32)
+                np.maximum(hmx, f, out=hmx)
+                htmp[:] = f
+                hs_ += htmp
+                htmp *= htmp
+                hsq += htmp
+                n += 1
+                continue
             pend.append(np.asarray(frame))
             if len(pend) >= DEVICE_BLOCK:
                 flush()
         flush()
     finally:
         video_loader.stop()
+    last_run_stats["decode_acc_s"] = round(
+        _time.perf_counter() - t_loop0, 3)
+    t_up0 = _time.perf_counter()
+    if host_reduce and hmx is not None:
+        # one reduced upload; stage1/stage2 below run on device as usual
+        mx = jax.device_put(hmx)
+        s = jax.device_put(hs_)
+        sq = jax.device_put(hsq)
+        last_run_stats["h2d_bytes"] = (hmx.nbytes + hs_.nbytes
+                                       + hsq.nbytes)
+    elif n:
+        last_run_stats["h2d_bytes"] = n * int(
+            np.prod(video_loader.runtime_size)) * 3
+    last_run_stats["upload_s"] = round(_time.perf_counter() - t_up0, 3)
     if n == 0 or mx is None:
         return None
+    t_math0 = _time.perf_counter()
 
     # -- background estimate -------------------------------------------
     use_ext_bg = use_ext_var = False
@@ -246,6 +334,8 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     stage2 = jax.jit(functools.partial(_jit_stage2, hp=float(hp),
                                        gumbel=gumbel))
     mixed = np.asarray(stage2(mx, est_bg_mu, est_bg_var, fg_blur))
+    last_run_stats["device_math_fetch_s"] = round(
+        _time.perf_counter() - t_math0, 3)
     logger.debug(f"MFNR-stacked SNR (device): "
                  f"{hs.estimate_snr_smooth_residual(mixed):.2f} db.")
     return mixed

@@ -107,11 +107,14 @@ def test_mldetector_detection_quality():
 def test_mldetector_device_fault_recovery(color_frames, monkeypatch):
     """A transient fault on one MLDetector block must be recovered by the
     block loop (reset_device_state + zero-fill), not kill the run — the
-    dldet analog of test_device_failure_recovery."""
+    dldet analog of test_device_failure_recovery. Pins the INCREMENTAL
+    collect path (deferred collection defaults on for MLDetector since it
+    grew collect_many; its fault fallback is covered separately below)."""
     from metdetpy_tpu.detectors.mldet import MLDetector
 
     monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
     monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "16")
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "0")
     orig_collect = MLDetector.collect
     state = {"calls": 0, "resets": 0}
 
@@ -139,4 +142,52 @@ def test_mldetector_device_fault_recovery(color_frames, monkeypatch):
     mdrf = detect_video(color_frames, None, cfg, work_mode="backend")
     assert state["resets"] == 1
     # the run completed and processed every frame after the dropped block
+    assert mdrf.performance and mdrf.performance["frames"] >= 80
+
+
+def test_mldetector_deferred_collect_fault_fallback(color_frames,
+                                                    monkeypatch):
+    """Deferred-collection leg of the fault story: when the grouped
+    horizon fetch (collect_many) fails, flush_deferred must fall back to
+    per-block collect with the same reset recovery — one flaky block is
+    zero-filled, every other block's results still come through."""
+    from metdetpy_tpu.detectors.mldet import MLDetector
+
+    monkeypatch.setenv("METDETPY_TPU_YOLO_HW", "96x96")
+    monkeypatch.setenv("METDETPY_TPU_BLOCK_FRAMES", "16")
+    monkeypatch.setenv("METDETPY_TPU_DEFERRED_COLLECT", "1")
+    state = {"many_calls": 0, "collect_calls": 0, "resets": 0}
+
+    def flaky_many(self, handles):
+        state["many_calls"] += 1
+        raise RuntimeError("injected horizon-fetch failure")
+
+    orig_collect = MLDetector.collect
+
+    def flaky_collect(self, handle):
+        state["collect_calls"] += 1
+        if state["collect_calls"] == 1:
+            raise RuntimeError("injected FAILED_PRECONDITION")
+        return orig_collect(self, handle)
+
+    orig_reset = MLDetector.reset_device_state
+
+    def counting_reset(self):
+        state["resets"] += 1
+        return orig_reset(self)
+
+    monkeypatch.setattr(MLDetector, "collect_many", flaky_many)
+    monkeypatch.setattr(MLDetector, "collect", flaky_collect)
+    monkeypatch.setattr(MLDetector, "reset_device_state", counting_reset)
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/dldet.json"))
+    cfg.loader.name = "BlockVideoLoader"
+    cfg.loader.wrapper = "NumpyVideoWrapper"
+    cfg.loader.resize = None
+    cfg.loader.exp_time = "real-time"
+    cfg.collector.recheck_cfg.switch = False
+    mdrf = detect_video(color_frames, None, cfg, work_mode="backend")
+    assert state["many_calls"] >= 1          # deferred path was active
+    assert state["collect_calls"] >= 2       # per-block fallback ran
+    assert state["resets"] == 1              # flaky block recovered
     assert mdrf.performance and mdrf.performance["frames"] >= 80

@@ -205,6 +205,33 @@ def test_mfnr_device_matches_host_all_bg_algorithms(rng, monkeypatch):
         assert (diff > 0).mean() < 0.02, (bg, (diff > 0).mean())
 
 
+def test_mfnr_device_host_reduced_upload_parity(rng, monkeypatch):
+    """The host-reduced placement for bg="mean" (stream max/sum/sqsum on
+    host, upload only the three planes, pixel math on device) must match
+    the full-upload device path bit-for-bit: both feed identical
+    reduction planes into the same stage programs."""
+    from metdetpy_tpu.ops import stack_device
+    from metdetpy_tpu.ops.stack_device import mfnr_mix_device
+
+    frames = _frames(rng, n=18)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    dn.mfnr_param.bg_algorithm = "mean"
+    monkeypatch.setenv("METDETPY_TPU_MFNR_HOST_REDUCE", "0")
+    full = mfnr_mix_device(_loader(frames), dn)
+    assert stack_device.last_run_stats["placement"] == "full-upload"
+    monkeypatch.setenv("METDETPY_TPU_MFNR_HOST_REDUCE", "1")
+    reduced = mfnr_mix_device(_loader(frames), dn)
+    assert stack_device.last_run_stats["placement"] == \
+        "host-reduced-upload"
+    # u8 max + u32 sum + u32 sqsum = 9x one u8 frame, frame-count-free
+    # (the full-upload path ships n_frames x frame bytes instead)
+    assert stack_device.last_run_stats["h2d_bytes"] == \
+        9 * frames[0].nbytes
+    assert np.array_equal(full, reduced)
+
+
 def test_mfnr_device_no_connect_lines(rng, monkeypatch):
     """connect_lines off: the device path must run as ONE program chain
     with no host round trip, same +/-1 parity."""
