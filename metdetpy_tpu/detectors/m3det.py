@@ -526,14 +526,22 @@ class ClassicDetector(LineDetector):
         # window is hardcoded to 4 frames regardless of window_sec
         # (reference MetLib/Detector.py:249-255)
         # The 4-frame dst has no median blur or dynamic mask quieting it,
-        # so noisy video binarizes to tens of thousands of points per
-        # frame; the default M3 point budget would overflow-drop every
-        # frame (the reference only drops at >500 LINES) -- give classic
-        # 4x the budget unless the caller chose one.
+        # so noisy video binarizes+dilates to tens of thousands of points
+        # per frame; the M3 point budget would overflow-drop frames the
+        # reference keeps (it only drops at >500 LINES,
+        # MetLib/Detector.py:358-360). Derive the default budget from the
+        # frame AREA instead: 1/8 of the pixels (a dilated ~1% noise
+        # floor) with the M3 default as floor and 64k as cap (the static
+        # compaction capacity — one compiled program per resolution). An
+        # explicit METDETPY_TPU_MAX_POINTS or caller kwarg wins verbatim.
         if "max_points" not in kw or kw["max_points"] is None:
             import os
-            kw["max_points"] = 4 * int(os.environ.get(
-                "METDETPY_TPU_MAX_POINTS", 8192))
+            env = os.environ.get("METDETPY_TPU_MAX_POINTS")
+            if env is not None:
+                kw["max_points"] = int(env)
+            else:
+                area = int(np.prod(mask.shape[:2]))
+                kw["max_points"] = min(max(8192, area // 8), 1 << 16)
         super().__init__(self.CLASSIC_WINDOW / fps, fps, mask, num_cls, cfg,
                          logger, **kw)
         self._classic_hist = jnp.zeros((3,) + self.hw, dtype=jnp.uint8)

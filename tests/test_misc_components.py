@@ -163,3 +163,60 @@ def test_collector_sentinel_never_leaks_on_long_runs():
     texts = [str(m) for _, m in outputs]
     assert not any("-100" in s for s in texts), texts
     assert len(outputs) >= 1  # the real track was flushed out
+
+
+def test_classic_dense_noise_keeps_detecting(monkeypatch):
+    """Dense-noise fairness (reference drops only at >500 LINES,
+    MetLib/Detector.py:358-360 — never on raw point count): a noisy clip
+    whose binarized+dilated 4-frame dst exceeds the M3 default point
+    budget (8192) must still be detected by ClassicDetector. The
+    area-derived default budget keeps such frames; pinning the OLD fixed
+    budget on the same frames overflow-drops them — the divergence this
+    test exists to prevent."""
+    import cv2
+
+    from metdetpy_tpu.detectors.m3det import ClassicDetector, _unpack
+    from metdetpy_tpu.log import BaseMetLog
+    from metdetpy_tpu.structs import MainDetectCfg
+
+    h, w = 270, 480
+    monkeypatch.delenv("METDETPY_TPU_MAX_POINTS", raising=False)
+    cfg = MainDetectCfg.from_json_file(
+        relative2abs_path("./config/m3det_normal.json")).detector.cfg
+    cfg.binary.adaptive_bi_thre = False
+    cfg.binary.init_value = 29  # ~1% Gaussian tail at sigma=8 (below)
+    cfg.dynamic.dy_mask = False
+
+    rng = np.random.default_rng(11)
+    block = np.clip(
+        rng.normal(32.0, 8.0, (16, h, w)), 0, 255).astype(np.uint8)
+    # bright streak on ONE frame (uzanka regime: gone 2 frames later so
+    # the newest-pair suppression mask never sees it)
+    cv2.line(block[8], (60, 40), (300, 200), 255, 2)
+
+    def run(**kw):
+        det = ClassicDetector(window_sec=0.16, fps=25.0,
+                              mask=np.ones((h, w), np.uint8), num_cls=2,
+                              cfg=cfg, logger=BaseMetLog(), **kw)
+        handle = det.process_block_async(block)
+        lines, valid, extras = _unpack(np.asarray(handle[0]),
+                                       det.max_peaks)
+        return det, lines, valid, extras
+
+    det, lines, valid, extras = run()
+    area_budget = min(max(8192, h * w // 8), 1 << 16)
+    assert det.max_points == area_budget
+    npix, overflow = extras[:, 1], extras[:, 2]
+    # steady state only: t<3 diffs against the zero-filled history and is
+    # discarded by the CLASSIC_WINDOW warmup gating anyway
+    # the clip IS dense: noise alone binarizes past the old fixed budget
+    assert npix[3:].min() > 8192, npix
+    # ...yet no frame overflows the area-derived budget, and the streak
+    # is found on the frames whose OLDEST pair contains it (t=7, t=8)
+    assert not overflow[3:].any(), npix
+    assert valid[7].any() or valid[8].any()
+
+    # contrast leg: the old fixed budget drops every dense frame
+    _, lines2, valid2, extras2 = run(max_points=8192)
+    assert extras2[3:, 2].all()          # overflow on all steady frames
+    assert not valid2[7:9].any()         # ...so the streak is lost
