@@ -863,19 +863,32 @@ def bench_recheck():
     (io/videoloader.py keep_color_stacks) so recheck consumes loader
     memory instead of re-decoding; the artifact states the measured
     overhead of turning recheck on."""
-    from metdetpy_tpu.synth import SynthMeteor, generate_meteor_video
+    from metdetpy_tpu.synth import (SynthMeteor, SynthPlane,
+                                    generate_meteor_video)
     from metdetpy_tpu.structs import MainDetectCfg
     from metdetpy_tpu.utils import relative2abs_path
 
     fps = 25.0
     n_seconds = float(os.environ.get("BENCH_SECONDS", 20.0))
     w, h = 1920, 1080
-    meteor = SynthMeteor(start_sec=2.4, end_sec=4.4,
-                         pt1=(int(w * 0.45), int(h * 0.25)),
-                         pt2=(int(w * 0.30), int(h * 0.55)))
+    # multi-event clip (VERDICT r4 #8): two real meteors + one slow
+    # blinking plane-like mover, so the artifact exercises the recheck
+    # fusion AND demotion branches (track/exporter.py:160-225; reference
+    # MetLib/collector.py:772-866) rather than confirming a single target.
+    meteors = [SynthMeteor(start_sec=2.4, end_sec=4.4,
+                           pt1=(int(w * 0.45), int(h * 0.25)),
+                           pt2=(int(w * 0.30), int(h * 0.55))),
+               SynthMeteor(start_sec=9.0, end_sec=10.6,
+                           pt1=(int(w * 0.72), int(h * 0.70)),
+                           pt2=(int(w * 0.60), int(h * 0.38)))]
+    planes = [SynthPlane(start_sec=5.5, end_sec=18.5,
+                         pt1=(int(w * 0.10), int(h * 0.82)),
+                         pt2=(int(w * 0.38), int(h * 0.74)),
+                         blink_hz=1.0)]
     frames = generate_meteor_video(width=w, height=h, fps=fps,
-                                   duration_sec=n_seconds, meteors=[meteor],
-                                   n_stars=150, noise_sigma=4.0, color=True)
+                                   duration_sec=n_seconds, meteors=meteors,
+                                   planes=planes, n_stars=150,
+                                   noise_sigma=4.0, color=True)
     frames.sum()
 
     def load_cfg(recheck_on):
@@ -901,6 +914,13 @@ def bench_recheck():
     targets = [t for rec in mdrf.results for t in rec.target]
     n_meteors = sum(1 for t in targets if t.category == "METEOR")
     n_rechecked = sum(1 for t in targets if t.recheck_score is not None)
+    # a demotion = a proposal the recheck model matched (recheck_score set)
+    # and reclassified away from METEOR (exporter.recheck_progress
+    # drop/fixup branches)
+    n_demoted = sum(1 for t in targets
+                    if t.recheck_score is not None
+                    and t.category != "METEOR")
+    categories = sorted({t.category for t in targets})
     best_on, best_off = on_fps[-1], off_fps[-1]
     med_on = on_fps[len(on_fps) // 2]
     med_off = off_fps[len(off_fps) // 2]
@@ -924,7 +944,12 @@ def bench_recheck():
         "recheck_overhead_pct_median": round(
             100.0 * (med_off - med_on) / med_off, 1),
         "meteor_found": n_meteors >= 1,
+        "n_meteors": n_meteors,
         "n_rechecked_targets": n_rechecked,
+        "n_demoted_targets": n_demoted,
+        "target_categories": categories,
+        "clip_events": "2 meteors (2.4-4.4s, 9.0-10.6s) + 1 blinking "
+                       "plane-like mover (5.5-18.5s)",
         "note": "m3det_normal preset unmodified (recheck switch stays at "
                 "its default true); recheck stacks come from loader "
                 "memory -- no second decode pass",

@@ -196,10 +196,29 @@ def _find_peaks(votes: jax.Array, threshold: int,
     Peaks are compacted by (theta, rho) order via cumsum+searchsorted
     instead of a full top_k-by-votes over the accumulator (top_k over
     ~500k bins costs ~10 ms/frame on v5e; peak count after 3x3 NMS is
-    almost always << max_peaks, so order doesn't matter in practice)."""
+    almost always << max_peaks, so order rarely matters).
+
+    Crowd guard: a long THICK streak (meteor mid-event under a 25-frame
+    window max) is a blob whose accumulator has local maxima above
+    threshold at nearly EVERY theta; plain (theta, rho)-order compaction
+    then fills max_peaks with near-vertical (low-theta) pseudo-lines and
+    drops the true high-vote diagonal -- m3det_low's min_len=15 turned
+    that into a mid-event detection blackout (r5 parity find). When the
+    peak count exceeds max_peaks, raise the vote cutoff to the lowest
+    rung of a static geometric ladder whose survivor count fits, so
+    selection keeps the STRONGEST peaks. Plain ladder reductions (no
+    sort/top_k), and only on frames that cleared the chunk-level
+    vote-threshold cond."""
     pooled = lax.reduce_window(votes, jnp.iinfo(jnp.int32).min, lax.max,
                                (3, 3), (1, 1), [(1, 1), (1, 1)])
     is_peak = (votes >= pooled) & (votes > threshold)
+    cuts = jnp.asarray(np.unique(np.round(
+        np.geomspace(threshold + 1, 8192, 24))).astype(np.int32))
+    tails = jnp.sum((votes[None] >= cuts[:, None, None]) & is_peak[None],
+                    axis=(1, 2))
+    fits = tails <= max_peaks
+    ci = jnp.where(jnp.any(fits), jnp.argmax(fits), len(cuts) - 1)
+    is_peak = is_peak & (votes >= cuts[ci])
     idx, ok = _compact_indices(is_peak.reshape(-1).astype(jnp.uint8),
                                max_peaks)
     n_rho = votes.shape[1]

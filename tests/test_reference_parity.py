@@ -44,6 +44,13 @@ METEOR_T0, METEOR_T1 = 2.4, 4.4
 CONFIGS = {
     "m3det_normal": dict(cfg="m3det_normal", detector=None, mask=False),
     "m3det_high_mask": dict(cfg="m3det_high", detector=None, mask=True),
+    # different hough (min_len 15/max_gap 8), meteor min_len 20 and
+    # speed_range [3,18] (reference config/m3det_low.json)
+    "m3det_low": dict(cfg="m3det_low", detector=None, mask=False),
+    # legacy preset: upper_bound 0.5, dynamic window 5s
+    # (reference config/m3det_normal_old.json)
+    "m3det_normal_old": dict(cfg="m3det_normal_old", detector=None,
+                             mask=False),
 }
 
 
@@ -409,3 +416,77 @@ def test_json_serializable_both(clip_path, mask_path):
     refs, reb = _runs_for("m3det_normal", clip_path, mask_path)
     json.dumps(refs[0])
     json.dumps(reb)
+
+
+@pytest.fixture(scope="module")
+def slow_shutter_clip_path(tmp_path_factory):
+    """Slow-shutter probe: 40 distinct 0.2 s exposures in a 25 fps
+    container (each exposure written 5x), the camera behavior
+    rf_estimator exists to recover (reference
+    MetLib/videoloader.py:796-870). The estimator's curvature test only
+    registers boundaries where the frame sum RISES (2*A1<A0+A2 and
+    2*A2>A1+A3) -- with noise-only exposure changes half the boundaries
+    fall and BOTH estimators read interval 10 -- so a mild per-exposure
+    brightness ramp (1.5 gray/exposure >> the noise-sum sigma) makes
+    every boundary rising, the regime the estimator is built for
+    (sky brightening toward dawn)."""
+    from metdetpy_tpu.synth import generate_meteor_video
+    exposures = generate_meteor_video(
+        width=320, height=180, fps=5.0, duration_sec=8.0, meteors=[],
+        n_stars=40, noise_sigma=3.0, seed=5)
+    ramp = np.arange(len(exposures), dtype=np.float32)[:, None, None] * 1.5
+    exposures = np.clip(exposures.astype(np.float32) + ramp,
+                        0, 255).astype(np.uint8)
+    path = str(tmp_path_factory.mktemp("refparity_rf") / "slow.avi")
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), FPS,
+                             (320, 180))
+    for f in exposures:
+        bgr = cv2.cvtColor(f, cv2.COLOR_GRAY2BGR)
+        for _ in range(5):
+            writer.write(bgr)
+    writer.release()
+    return path
+
+
+def test_rf_estimator_parity(slow_shutter_clip_path):
+    """exp_time="auto" leg: the reference's rf_estimator and the rebuild's
+    (io/videoloader.py rf_estimator) must recover the same exposure from
+    the same ENCODED clip — both the raw interval estimate and the
+    loader-level exp_frame resolution (auto -> 5 frames -> 0.2 s)."""
+    added = []
+    for p in (SHIM_DIR, REF_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    try:
+        from MetLib.videoloader import ThreadVideoLoader as RefLoader
+        from MetLib.videoloader import rf_estimator as ref_rf
+        from MetLib.videowrapper import OpenCVVideoWrapper as RefWrapper
+        ref_loader = RefLoader(RefWrapper, slow_shutter_clip_path,
+                               exp_option="real-time", grayscale=True,
+                               merge_func="max")
+        ref_est = ref_rf(ref_loader)
+        ref_loader.release()
+    finally:
+        for p in added:
+            sys.path.remove(p)
+
+    from metdetpy_tpu.io.videoloader import (BlockVideoLoader,
+                                             rf_estimator)
+    from metdetpy_tpu.io.videowrapper import OpenCVVideoWrapper
+    loader = BlockVideoLoader(OpenCVVideoWrapper, slow_shutter_clip_path,
+                              exp_option="real-time", grayscale=True,
+                              merge_func="max")
+    est = rf_estimator(loader)
+    assert est == ref_est == 5, (est, ref_est)
+    loader.release()
+
+    # loader-level resolution of the "auto" option (upper bound 0.34 from
+    # m3det_normal clamps 0.2 s only if exceeded -- it isn't)
+    auto_loader = BlockVideoLoader(OpenCVVideoWrapper,
+                                   slow_shutter_clip_path,
+                                   exp_option="auto", grayscale=True,
+                                   merge_func="max", exp_upper_bound=0.34)
+    assert auto_loader.exp_frame == 5
+    assert abs(auto_loader.exp_time - 0.2) < 1e-6
+    auto_loader.release()
