@@ -614,9 +614,10 @@ def bench_dldet():
     dldet_stages = {
         k: perf.get(k) for k in
         ("wall_time_s", "decode_wait_s", "dispatch_s", "collect_s",
-         "collect_calls", "collector_update_s", "loader_read",
-         "loader_preproc", "loader_merge", "loader_qput", "loader_h2d_s",
-         "loader_h2d_bytes", "loader_loop_wall")
+         "collect_calls", "collect_fetch_s", "collect_fetch_bytes",
+         "collect_post_s", "collect_orient_s", "collector_update_s",
+         "loader_read", "loader_preproc", "loader_merge", "loader_qput",
+         "loader_h2d_s", "loader_h2d_bytes", "loader_loop_wall")
         if perf.get(k) is not None}
     med = pass_fps[len(pass_fps) // 2]
     print(json.dumps({

@@ -203,6 +203,10 @@ def detect_video(video_name: str, mask_name: Optional[str],
     # consumers can decompose decode_wait into host work vs transfer
     for k, v in getattr(video_loader, "stage_stats", {}).items():
         perf[f"loader_{k}"] = round(v, 4) if isinstance(v, float) else v
+    # detector-internal collect decomposition (e.g. MLDetector's grouped
+    # fetch vs host postprocess split), so collect_s is attributable
+    for k, v in getattr(detector, "last_collect_stats", {}).items():
+        perf[f"collect_{k}"] = round(v, 4) if isinstance(v, float) else v
     return MDRF(version=VERSION, basic_info=video_info, config=cfg,
                 type="prediction", anno_size=video_info.resolution,
                 results=collector.met_exporter.meteor_list,

@@ -38,6 +38,28 @@ def _window_max_color(hist, frames, n):
     return out, seq[frames.shape[0]:]
 
 
+_ROI_WIN = 256          # static ROI window side (boxes larger fall back)
+_ROI_BUCKETS = (4, 16, 64)   # padded batch sizes (bounds compile count)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _gather_gray_rois(stacks, ts, ys, xs, p):
+    """Extract [N, p, p] windows at (t, y, x) origins from u8 [T, H, W, 3]
+    BGR stacks and gray-convert on device with OpenCV's exact fixed-point
+    weights ((B*3735 + G*19235 + R*9798 + 16384) >> 15) -- the host
+    reads every detection's orientation ROI in ONE fetch instead of one
+    RTT-bound fetch per detection (measured: the per-detection fetches
+    were ~2.2 s of a 3.2 s dldet wall on the tunneled chip)."""
+    def one(t, y, x):
+        win = jax.lax.dynamic_slice(
+            stacks, (t, y, x, jnp.int32(0)), (1, p, p, 3))[0]
+        win = win.astype(jnp.int32)
+        gray = (win[..., 0] * 3735 + win[..., 1] * 19235
+                + win[..., 2] * 9798 + 16384) >> 15
+        return gray.astype(jnp.uint8)
+    return jax.vmap(one)(ts, ys, xs)
+
+
 class MLDetector(BaseDetector):
 
     def __init__(self, window_sec: float, fps: float, mask: np.ndarray,
@@ -54,6 +76,8 @@ class MLDetector(BaseDetector):
         self._pending: list[np.ndarray] = []
         self._last: Optional[FrameResult] = None
         self.result_pos = np.zeros((0, 4), int)
+        # cumulative collect_many decomposition (api perf dict)
+        self.last_collect_stats: dict = {}
 
     def update(self, new_frame: np.ndarray) -> None:
         self._pending.append(np.asarray(new_frame, dtype=np.uint8))
@@ -115,9 +139,22 @@ class MLDetector(BaseDetector):
             return []
         group = max(1, int(os.environ.get("METDETPY_TPU_COLLECT_GROUP",
                                           8)))
+        # don't pad a short horizon up to the full group (padding rows
+        # are fetched too -- a 2-handle horizon padded to 8 reads 4x the
+        # bytes); round up to the nearest power-of-two bucket instead,
+        # which keeps the stacked-fetch compile count bounded
+        while group // 2 >= len(handles):
+            group //= 2
+        import time
         no_fetch = bool(os.environ.get("METDETPY_TPU_NO_FETCH"))
+        stats = {"fetch_s": 0.0, "post_s": 0.0, "orient_s": 0.0,
+                 "fetch_bytes": 0}
         n_levels = len(handles[0][1][6])
-        # fetched[i] = per-handle list of (sel, n_above) numpy pairs
+        # arrays per level after the leading tiles entry: (sel, n_above)
+        # for multiscale, (sel, n_above, order, keep) when the NMS ran
+        # fused in the dispatch chain (models/yolo.py _sel_nms_device)
+        n_slots = len(handles[0][1][6][0]) - 1
+        # fetched[i] = per-handle list of per-level numpy tuples
         fetched: list[list] = [[] for _ in handles]
         for a in range(0, len(handles), group):
             grp = handles[a:a + group]
@@ -125,16 +162,18 @@ class MLDetector(BaseDetector):
             while len(grp) < group:
                 grp.append(grp[0])  # pad: dropped after fetch
             for lv in range(n_levels):
-                sel = jnp.stack([h[1][6][lv][1] for h in grp])
-                n_above = jnp.stack([jnp.asarray(h[1][6][lv][2])
-                                     for h in grp])
+                stacked = [jnp.stack([jnp.asarray(h[1][6][lv][s + 1])
+                                      for h in grp])
+                           for s in range(n_slots)]
                 if no_fetch:
-                    jax.block_until_ready((sel, n_above))
+                    jax.block_until_ready(stacked)
                     continue
-                sel_np = np.asarray(sel)
-                na_np = np.asarray(n_above)
+                tf = time.perf_counter()
+                nps = [np.asarray(x) for x in stacked]
+                stats["fetch_s"] += time.perf_counter() - tf
+                stats["fetch_bytes"] += sum(x.nbytes for x in nps)
                 for i in range(k):
-                    fetched[a + i].append((sel_np[i], na_np[i]))
+                    fetched[a + i].append(tuple(x[i] for x in nps))
         if no_fetch:
             b = handles[0][1][1]
             empty = [(np.zeros((0, 4), int),
@@ -143,11 +182,19 @@ class MLDetector(BaseDetector):
         out = []
         for i, (stacks_dev, mh) in enumerate(handles):
             single_scale, b, h, w, tflag, k_budget, outs = mh
-            outs_np = [(outs[lv][0], fetched[i][lv][0], fetched[i][lv][1])
+            outs_np = [(outs[lv][0], *fetched[i][lv])
                        for lv in range(n_levels)]
-            out.append(self._orient_results(
-                stacks_dev, self.model.collect_batch_device(
-                    (single_scale, b, h, w, tflag, k_budget, outs_np))))
+            tp = time.perf_counter()
+            batch_out = self.model.collect_batch_device(
+                (single_scale, b, h, w, tflag, k_budget, outs_np))
+            to = time.perf_counter()
+            out.append(self._orient_results(stacks_dev, batch_out))
+            te = time.perf_counter()
+            stats["post_s"] += to - tp
+            stats["orient_s"] += te - to
+        for k2, v2 in stats.items():
+            self.last_collect_stats[k2] = (
+                self.last_collect_stats.get(k2, 0) + v2)
         return out
 
     def process_block(self, block: np.ndarray) -> list[FrameResult]:
@@ -166,26 +213,89 @@ class MLDetector(BaseDetector):
             batch_out = self.model.forward_batch(np.asarray(stacks_dev))
         return self._orient_results(stacks_dev, batch_out)
 
+    def _fetch_gray_rois(self, stacks_dev, dets: list) -> list:
+        """Batched orientation-ROI readback. ``dets`` holds
+        (t, y1, y2, x1, x2) with raw (possibly negative / overshooting)
+        box coords; each entry resolves with python plain-slice semantics
+        -- exactly what ``stacks_dev[t, y1:y2, x1:x2]`` did -- then all
+        in-window ROIs arrive as one [N, p, p] device gather + single
+        d2h fetch (gray-converted on device, bit-equal to cv2's
+        BGR2GRAY). Oversize ROIs (> _ROI_WIN) fall back to an individual
+        fetch. Returns gray u8 arrays (size 0 when the slice is empty),
+        one per det."""
+        h, w = int(stacks_dev.shape[1]), int(stacks_dev.shape[2])
+        p = int(min(_ROI_WIN, h, w))
+        out: list = [None] * len(dets)
+        pend: list = []   # (det_idx, oy, ox, bh, bw)
+        ts: list = []
+        ys: list = []
+        xs: list = []
+        for i, (t, y1, y2, x1, x2) in enumerate(dets):
+            y1c, y2c, _ = slice(int(y1), int(y2)).indices(h)
+            x1c, x2c, _ = slice(int(x1), int(x2)).indices(w)
+            bh, bw = max(0, y2c - y1c), max(0, x2c - x1c)
+            if bh == 0 or bw == 0:
+                out[i] = np.zeros((bh, bw), np.uint8)
+                continue
+            if bh > p or bw > p:
+                bgr = np.asarray(stacks_dev[t, y1c:y2c, x1c:x2c])
+                b32 = bgr.astype(np.int32)
+                out[i] = ((b32[..., 0] * 3735 + b32[..., 1] * 19235
+                           + b32[..., 2] * 9798 + 16384) >> 15
+                          ).astype(np.uint8)
+                continue
+            y0 = min(y1c, h - p)
+            x0 = min(x1c, w - p)
+            pend.append((i, y1c - y0, x1c - x0, bh, bw))
+            ts.append(t)
+            ys.append(y0)
+            xs.append(x0)
+        done = 0
+        while done < len(pend):
+            rest = len(pend) - done
+            bucket = next((b for b in _ROI_BUCKETS if b >= rest),
+                          _ROI_BUCKETS[-1])
+            take = min(rest, bucket)
+            tt, yy, xx = (ts[done:done + take], ys[done:done + take],
+                          xs[done:done + take])
+            while len(tt) < bucket:   # pad; extras dropped after fetch
+                tt.append(tt[0])
+                yy.append(yy[0])
+                xx.append(xx[0])
+            wins = np.asarray(_gather_gray_rois(
+                stacks_dev, jnp.asarray(tt, jnp.int32),
+                jnp.asarray(yy, jnp.int32), jnp.asarray(xx, jnp.int32), p))
+            for (i, oy, ox, bh, bw), win in zip(pend[done:done + take],
+                                                wins):
+                out[i] = win[oy:oy + bh, ox:ox + bw]
+            done += take
+        return out
+
     def _orient_results(self, stacks_dev,
                         batch_out: list) -> list[FrameResult]:
         results: list[FrameResult] = []
+        dets: list = []       # (t, y1, y2, x1, x2)
+        owners: list = []     # (frame t, row i)
+        for t, (pos, cls) in enumerate(batch_out):
+            for i, coords in enumerate(pos):
+                box = Box.from_list(list(coords))
+                dets.append((t, box.y1, box.y2, box.x1, box.x2))
+                owners.append((t, i))
+        rois = self._fetch_gray_rois(stacks_dev, dets) if dets else []
+        # orient each box diagonal along the dominant gradient direction
+        # (reference MetLib/Detector.py:549-554)
+        for (t, i), roi in zip(owners, rois):
+            if roi.size == 0:
+                continue
+            drct = calc_roi_gradient(roi)
+            pos = batch_out[t][0]
+            if not np.isnan(drct) and int(drct // (np.pi / 2)) % 2 == 1:
+                pos[i, [1, 3]] = pos[i, [3, 1]]
         for t, (pos, cls) in enumerate(batch_out):
             if len(pos) == 0:
                 results.append((np.zeros((0, 4), int),
                                 np.zeros((0, self.num_cls))))
                 continue
-            # orient the box diagonal along the dominant gradient direction
-            # (reference MetLib/Detector.py:549-554); detections are rare,
-            # so fetch only each detection's ROI from the device stacks
-            # (same clamp semantics as crop_with_box: plain slicing)
-            for i, coords in enumerate(pos):
-                box = Box.from_list(list(coords))
-                roi_dev = stacks_dev[t, box.y1:box.y2, box.x1:box.x2]
-                if roi_dev.size == 0:
-                    continue
-                drct = calc_roi_gradient(np.asarray(roi_dev))
-                if not np.isnan(drct) and int(drct // (np.pi / 2)) % 2 == 1:
-                    pos[i, [1, 3]] = pos[i, [3, 1]]
             self.result_pos = pos
             results.append((pos, expand_cls_pred(cls)))
         return results

@@ -136,6 +136,21 @@ def _nms_batch(boxes, scores, score_thre, nms_thre, top_k: int = 128):
                                                                   scores)
 
 
+@functools.partial(jax.jit, static_argnames=("pos_thre", "nms_thre"))
+def _sel_nms_device(sel, *, pos_thre, nms_thre):
+    """Fused xywh->xyxy + batched NMS chained on the dispatched top-k
+    candidates: order/keep ride the SAME grouped readback as ``sel``
+    instead of collect fetching sel, re-uploading host-built boxes and
+    fetching the NMS result -- 2 extra round trips per block on the
+    tunneled chip (the box math is bit-identical: x2 = w + (x - w/2) in
+    f32 either way)."""
+    x1 = sel[..., 0] - sel[..., 2] / 2
+    y1 = sel[..., 1] - sel[..., 3] / 2
+    boxes = jnp.stack([x1, y1, x1 + sel[..., 2], y1 + sel[..., 3]],
+                      axis=-1)
+    return _nms_batch(boxes, sel[..., 4], pos_thre, nms_thre)
+
+
 _WEIGHT_CACHE: dict = {}
 
 
@@ -505,7 +520,14 @@ class YOLOModel:
             sel, n_above = _tiles_forward_topk(
                 self.variables, imgs_dev, tuple(tiles), (self.h, self.w),
                 self.nc, self._apply, k, self.pos_thre, transpose_flag)
-            outs.append((tiles, sel, n_above))
+            if single_scale:
+                # single-scale NMS needs no cross-level accumulation, so
+                # it fuses into the dispatch chain
+                order, keep = _sel_nms_device(sel, pos_thre=self.pos_thre,
+                                              nms_thre=self.nms_thre)
+                outs.append((tiles, sel, n_above, order, keep))
+            else:
+                outs.append((tiles, sel, n_above))
         return (single_scale, b, h, w, transpose_flag, k, outs)
 
     def collect_batch_device(self, handle) -> list:
@@ -514,11 +536,12 @@ class YOLOModel:
         accumulation + the single vmapped NMS."""
         single_scale, b, h, w, transpose_flag, k, outs = handle
         if single_scale:
-            (_, sel, n_above), = outs
+            (_, sel, n_above, order, keep), = outs
             self._warn_truncated(n_above, k)
             return self._postprocess_batch_nms(
                 np.asarray(sel, dtype=np.float32),
-                (w / self.w, h / self.h))
+                (w / self.w, h / self.h),
+                order_keep=(np.asarray(order), np.asarray(keep)))
         per_pos = [[] for _ in range(b)]
         per_cls = [[] for _ in range(b)]
         for tiles, sel, n_above in outs:
@@ -527,21 +550,27 @@ class YOLOModel:
                               per_pos, per_cls)
         return self._finalize_batch(per_pos, per_cls, b, transpose_flag)
 
-    def _postprocess_batch_nms(self, preds: np.ndarray, scale_wh):
+    def _postprocess_batch_nms(self, preds: np.ndarray, scale_wh,
+                               order_keep=None):
         """Batched _postprocess_single (nms=True): one vmapped device NMS
         round trip for the whole block instead of one nms_xyxy dispatch
-        per image. preds: [B, N, 5+nc] xywh+obj+cls at model scale."""
+        per image; with ``order_keep`` the NMS already ran fused in the
+        dispatch chain (_sel_nms_device) and no device access happens
+        here. preds: [B, N, 5+nc] xywh+obj+cls at model scale."""
         b = preds.shape[0]
         boxes = preds[:, :, :4].copy()
         boxes[:, :, 0] -= boxes[:, :, 2] / 2
         boxes[:, :, 1] -= boxes[:, :, 3] / 2
         boxes[:, :, 2] += boxes[:, :, 0]
         boxes[:, :, 3] += boxes[:, :, 1]
-        order, keep = _nms_batch(jnp.asarray(boxes),
-                                 jnp.asarray(preds[:, :, 4]),
-                                 self.pos_thre, self.nms_thre)
-        order = np.asarray(order)
-        keep = np.asarray(keep)
+        if order_keep is None:
+            order, keep = _nms_batch(jnp.asarray(boxes),
+                                     jnp.asarray(preds[:, :, 4]),
+                                     self.pos_thre, self.nms_thre)
+            order = np.asarray(order)
+            keep = np.asarray(keep)
+        else:
+            order, keep = order_keep
         sw, sh = scale_wh
         out = []
         for k in range(b):

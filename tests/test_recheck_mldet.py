@@ -191,3 +191,35 @@ def test_mldetector_deferred_collect_fault_fallback(color_frames,
     assert state["collect_calls"] >= 2       # per-block fallback ran
     assert state["resets"] == 1              # flaky block recovered
     assert mdrf.performance and mdrf.performance["frames"] >= 80
+
+
+def test_fetch_gray_rois_matches_per_detection_slicing():
+    """The batched orientation-ROI gather (_fetch_gray_rois) must be
+    bit-equal to the old per-detection path: plain-slice semantics on
+    raw (negative / overshooting) box coords, then cv2's exact BGR->GRAY
+    fixed-point conversion -- including the oversize fallback leg and
+    empty slices."""
+    import cv2
+    import jax.numpy as jnp
+
+    from metdetpy_tpu.detectors.mldet import MLDetector
+
+    rng = np.random.default_rng(3)
+    stacks = rng.integers(0, 256, (4, 90, 160, 3), np.uint8)
+    stacks_dev = jnp.asarray(stacks)
+    det = MLDetector.__new__(MLDetector)   # only _fetch_gray_rois needed
+    dets = [
+        (0, 10, 40, 20, 80),          # plain in-window box
+        (1, -5, 25, 140, 200),        # negative start + x overshoot
+        (2, 0, 90, 0, 160),           # full frame (oversize fallback)
+        (3, 50, 50, 10, 20),          # empty (y1 == y2)
+        (1, 83, 200, 3, 9),           # bottom edge clamp
+    ]
+    got = det._fetch_gray_rois(stacks_dev, dets)
+    for (t, y1, y2, x1, x2), roi in zip(dets, got):
+        ref_bgr = stacks[t, y1:y2, x1:x2]
+        if ref_bgr.size == 0:
+            assert roi.size == 0
+            continue
+        ref = cv2.cvtColor(ref_bgr, cv2.COLOR_BGR2GRAY)
+        np.testing.assert_array_equal(roi, ref)
