@@ -450,14 +450,17 @@ def _device_denoise_wins(video_loader, denoise_cfg=None) -> bool:
 
     With a stack-free background ("mean", the global/clip_cfg.json
     default) the device path can run in host-reduced mode — stream the
-    (max, sum, sqsum) reduction on host during decode and upload just
-    the three planes (9 B/px) instead of every frame — so the link cost
-    is a constant ~56 MB at 1080p and the device pixel math (Gumbel
-    correction, feather blur, blend) wins on any link that can carry
-    that in less than the host's own stage-math time (measured 1.5–5 s
-    at 64×1080p depending on host health). Stack-needing backgrounds
-    (median/sigma-clipping) must upload the whole clip, so they compare
-    full clip bytes against the host pixel-math estimate.
+    (max, sum, sqsum) reduction on host during decode, fold sum/sqsum
+    down to the rounded-mean u8 plane + the scalar bg std, and upload
+    just (max, mu) (2 B/px) instead of every frame — so the link cost
+    is a constant ~12 MB at 1080p color and the device pixel math
+    (Gumbel correction, feather blur, blend) wins on any link that can
+    carry that in less than the host's own stage-math time (measured
+    1.5–5 s at 64×1080p depending on host health — i.e. any link above
+    ~8 MB/s, including this dev tunnel's degraded synchronous mode).
+    Stack-needing backgrounds (median/sigma-clipping) must upload the
+    whole clip, so they compare full clip bytes against the host
+    pixel-math estimate.
     ``METDETPY_TPU_DEVICE_DENOISE`` = ``force``/``0`` overrides the
     probe."""
     import os
@@ -477,13 +480,13 @@ def _device_denoise_wins(video_loader, denoise_cfg=None) -> bool:
         px_scale = h * w / (1920 * 1080)
         h2d, _ = _probe_link_bps()
         if bg_algo == "mean":
-            # host-reduced upload: 9 B/px once + the final u8 readback;
-            # host keeps the streaming accumulate either way, so the
-            # comparison is link time vs the host's stage math (~1.5 s
-            # healthy / ~5 s degraded at 64x1080p; use the healthy
-            # figure — erring toward host only when the link is truly
-            # dead)
-            upload_bytes = 9 * h * w * 3
+            # host-reduced upload: 2 B/px once (max u8 + mu u8) + the
+            # final u8 readback; host keeps the streaming accumulate
+            # either way, so the comparison is link time vs the host's
+            # stage math (~1.5 s healthy / ~5 s degraded at 64x1080p;
+            # use the healthy figure — erring toward host only when the
+            # link is truly dead)
+            upload_bytes = 2 * h * w * 3
             host_stage_est_s = 1.5 * px_scale
             return upload_bytes / h2d < host_stage_est_s
         upload_bytes = frames * h * w * 3

@@ -81,7 +81,9 @@ def _jit_stage1(mx, s, sq, n, bg_mu, bg_var, taps, *, hp, gumbel,
     nf = jnp.float32(n)
     sf = s.astype(jnp.float32)
     if use_ext_bg:
-        est_bg_mu = bg_mu
+        # f32 plane from the median/sigma paths; u8 mu plane from the
+        # host-reduced "mean" upload
+        est_bg_mu = bg_mu.astype(jnp.float32)
     else:
         # FastGaussianParam.mu = round(sum / n), round-half-to-even like
         # np.round (reference MetLib/utils.py:442-447)
@@ -146,13 +148,16 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     pend: list[np.ndarray] = []
 
     # For the "mean" background the stack itself is never needed on
-    # device -- only the (max, sum, sqsum) reduction planes feed the
-    # pixel math. Streaming that reduction on the HOST during decode and
-    # uploading just the three planes (9 B/px, ~56 MB at 64x1080p color)
-    # instead of every frame (3 B/px/frame, ~398 MB) is the
-    # transport-aware placement for slow links; on a fast link the
-    # device accumulate wins (no host passes at all). Decided per run
-    # from a measured host-accumulate pilot vs the probed link rate.
+    # device -- and neither are the raw sum/sqsum planes: the pixel math
+    # consumes only the ROUNDED MEAN plane (u8, FastGaussianParam.mu
+    # semantics) and the SCALAR bg std. Streaming the reduction on the
+    # HOST during decode and uploading just (max u8, mu u8) + one scalar
+    # (2 B/px, ~12 MB at 64x1080p color) instead of every frame
+    # (3 B/px/frame, ~398 MB) or the 9 B/px raw planes makes the device
+    # path win on any link above ~8 MB/s -- including this dev tunnel's
+    # degraded synchronous mode. On a fast link the device accumulate
+    # wins outright (no host passes at all). Decided per run from a
+    # measured host-accumulate pilot vs the probed link rate.
     import os as _os
     host_reduce = False
     hr_env = _os.environ.get("METDETPY_TPU_MFNR_HOST_REDUCE")
@@ -164,7 +169,7 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
             w_, h_ = video_loader.runtime_size
             frames_total = video_loader.iterations
             full_bytes = frames_total * h_ * w_ * 3
-            red_bytes = 9 * h_ * w_ * 3
+            red_bytes = 2 * h_ * w_ * 3
             # pilot: accumulate 2 synthetic frames at runtime size
             import time as _t
             pf = np.zeros((h_, w_, 3), np.uint8)
@@ -244,13 +249,24 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     last_run_stats["decode_acc_s"] = round(
         _time.perf_counter() - t_loop0, 3)
     t_up0 = _time.perf_counter()
+    host_bg = host_var = None
     if host_reduce and hmx is not None:
-        # one reduced upload; stage1/stage2 below run on device as usual
+        # fold sum/sqsum down on host: the stage programs only consume
+        # the rounded mean plane and the scalar bg std (host math
+        # mirrors the device ops -- f32 sum cast, f32 divide, round
+        # half-to-even -- so mu is bit-equal to the full-upload path;
+        # the scalar differs by reduction-order ULPs only)
+        nf = np.float32(n)
+        sf = hs_.astype(np.float32)
+        host_bg = np.round(sf / nf).astype(np.uint8)
+        var = hsq.astype(np.float32)
+        var -= sf * sf / nf
+        var /= nf - 1.0
+        host_var = float(np.mean(np.sqrt(np.maximum(var, 0.0, out=var))))
         mx = jax.device_put(hmx)
-        s = jax.device_put(hs_)
-        sq = jax.device_put(hsq)
-        last_run_stats["h2d_bytes"] = (hmx.nbytes + hs_.nbytes
-                                       + hsq.nbytes)
+        s = jnp.zeros((), jnp.uint32)   # unused under ext bg/var flags
+        sq = jnp.zeros((), jnp.uint32)
+        last_run_stats["h2d_bytes"] = hmx.nbytes + host_bg.nbytes
     elif n:
         last_run_stats["h2d_bytes"] = n * int(
             np.prod(video_loader.runtime_size)) * 3
@@ -263,7 +279,12 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     use_ext_bg = use_ext_var = False
     bg_mu = jnp.zeros((), jnp.float32)
     bg_var = jnp.zeros((), jnp.float32)
-    if mfnr.bg_algorithm in ("median", "med-of-med"):
+    if host_bg is not None:
+        # host-reduced "mean" path: mu plane rides the reduced upload
+        bg_mu = jax.device_put(host_bg)
+        bg_var = jnp.float32(host_var)
+        use_ext_bg = use_ext_var = True
+    elif mfnr.bg_algorithm in ("median", "med-of-med"):
         stack = jnp.concatenate(dev_blocks, axis=0)
         med = jax.jit(lambda x: jnp.median(x.astype(jnp.float32), axis=0))
         # host parity (stack.mfnr_mix_stacker): exact median for

@@ -207,9 +207,12 @@ def test_mfnr_device_matches_host_all_bg_algorithms(rng, monkeypatch):
 
 def test_mfnr_device_host_reduced_upload_parity(rng, monkeypatch):
     """The host-reduced placement for bg="mean" (stream max/sum/sqsum on
-    host, upload only the three planes, pixel math on device) must match
-    the full-upload device path bit-for-bit: both feed identical
-    reduction planes into the same stage programs."""
+    host, fold sum/sqsum to the rounded-mean u8 plane + scalar bg std,
+    upload only max+mu, pixel math on device) must match the full-upload
+    device path within +/-1 gray level: the mu plane is bit-equal (same
+    f32 divide + round-half-even ops on both sides); only the scalar bg
+    std differs by reduction-order ULPs, which can flip isolated pixels
+    across a round boundary."""
     from metdetpy_tpu.ops import stack_device
     from metdetpy_tpu.ops.stack_device import mfnr_mix_device
 
@@ -225,11 +228,12 @@ def test_mfnr_device_host_reduced_upload_parity(rng, monkeypatch):
     reduced = mfnr_mix_device(_loader(frames), dn)
     assert stack_device.last_run_stats["placement"] == \
         "host-reduced-upload"
-    # u8 max + u32 sum + u32 sqsum = 9x one u8 frame, frame-count-free
+    # u8 max + u8 mu = 2x one u8 color frame's bytes, frame-count-free
     # (the full-upload path ships n_frames x frame bytes instead)
     assert stack_device.last_run_stats["h2d_bytes"] == \
-        9 * frames[0].nbytes
-    assert np.array_equal(full, reduced)
+        2 * frames[0].nbytes
+    diff = np.abs(reduced.astype(np.int16) - full.astype(np.int16))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.02
 
 
 def test_mfnr_device_no_connect_lines(rng, monkeypatch):
