@@ -452,7 +452,7 @@ def _device_denoise_wins(video_loader, denoise_cfg=None) -> bool:
     default) the device path can run in host-reduced mode — stream the
     (max, sum, sqsum) reduction on host during decode, fold sum/sqsum
     down to the rounded-mean u8 plane + the scalar bg std, and upload
-    just (max, mu) (2 B/px) instead of every frame — so the link cost
+    just (max, mu, fg mask) (~2.3 B/px) instead of every frame — so the link cost
     is a constant ~12 MB at 1080p color and the device pixel math
     (Gumbel correction, feather blur, blend) wins on any link that can
     carry that in less than the host's own stage-math time (measured
@@ -480,13 +480,13 @@ def _device_denoise_wins(video_loader, denoise_cfg=None) -> bool:
         px_scale = h * w / (1920 * 1080)
         h2d, _ = _probe_link_bps()
         if bg_algo == "mean":
-            # host-reduced upload: 2 B/px once (max u8 + mu u8) + the
-            # final u8 readback; host keeps the streaming accumulate
+            # host-reduced upload: ~2.3 B/px once (max u8 + mu u8 +
+            # 1-channel fg mask) + the final u8 readback; host keeps the streaming accumulate
             # either way, so the comparison is link time vs the host's
             # stage math (~1.5 s healthy / ~5 s degraded at 64x1080p;
             # use the healthy figure — erring toward host only when the
             # link is truly dead)
-            upload_bytes = 2 * h * w * 3
+            upload_bytes = 2 * h * w * 3 + h * w
             host_stage_est_s = 1.5 * px_scale
             return upload_bytes / h2d < host_stage_est_s
         upload_bytes = frames * h * w * 3

@@ -116,6 +116,15 @@ def _jit_stage2(mx, est_bg_mu, est_bg_var, fg_blur, *, hp, gumbel):
     return mixed.astype(jnp.uint8)
 
 
+def _jit_blur_blend(mx, bg_mu, bg_var, fg_any, taps, *, hp, gumbel):
+    """Host-reduced placement's device program: feather blur of the
+    host-computed fg mask + the stage-2 blend, one fused dispatch."""
+    import jax.numpy as jnp
+    fg_blur = _blur_reflect101(fg_any.astype(jnp.float32), taps)[..., None]
+    return _jit_stage2(mx, bg_mu.astype(jnp.float32), bg_var, fg_blur,
+                       hp=hp, gumbel=gumbel)
+
+
 def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
                     start_frame=None, end_frame=None,
                     logger: Optional[BaseMetLog] = None
@@ -232,12 +241,14 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
                     hmx = np.zeros_like(f)
                     hs_ = np.zeros(f.shape, np.uint32)
                     hsq = np.zeros(f.shape, np.uint32)
-                    htmp = np.empty(f.shape, np.uint32)
+                    htmp = np.empty(f.shape, np.uint16)
                 np.maximum(hmx, f, out=hmx)
-                htmp[:] = f
-                hs_ += htmp
-                htmp *= htmp
-                hsq += htmp
+                # u16 staging: sum increments and u8 squares (<= 255^2)
+                # both fit u16, halving the accumulate's memory traffic
+                # vs u32 temporaries on the 1-core host
+                np.multiply(f, f, out=htmp, dtype=np.uint16, casting="unsafe")
+                np.add(hsq, htmp, out=hsq, casting="unsafe")
+                np.add(hs_, f, out=hs_, casting="unsafe")
                 n += 1
                 continue
             pend.append(np.asarray(frame))
@@ -249,13 +260,17 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     last_run_stats["decode_acc_s"] = round(
         _time.perf_counter() - t_loop0, 3)
     t_up0 = _time.perf_counter()
-    host_bg = host_var = None
     if host_reduce and hmx is not None:
-        # fold sum/sqsum down on host: the stage programs only consume
+        # fold sum/sqsum down on host: the device blend only consumes
         # the rounded mean plane and the scalar bg std (host math
         # mirrors the device ops -- f32 sum cast, f32 divide, round
         # half-to-even -- so mu is bit-equal to the full-upload path;
-        # the scalar differs by reduction-order ULPs only)
+        # the scalar differs by reduction-order ULPs only). Stage-1's
+        # bias/fg-mask stats (and the optional contour reconnection)
+        # also run here: every input is already host-resident, and
+        # shipping the f32 bias plane down for connect_lines (~25 MB at
+        # 1080p color) costs more on a slow link than the math does on
+        # one core. The device keeps the feather blur + blend.
         nf = np.float32(n)
         sf = hs_.astype(np.float32)
         host_bg = np.round(sf / nf).astype(np.uint8)
@@ -263,11 +278,84 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
         var -= sf * sf / nf
         var /= nf - 1.0
         host_var = float(np.mean(np.sqrt(np.maximum(var, 0.0, out=var))))
-        mx = jax.device_put(hmx)
-        s = jnp.zeros((), jnp.uint32)   # unused under ext bg/var flags
-        sq = jnp.zeros((), jnp.uint32)
-        last_run_stats["h2d_bytes"] = hmx.nbytes + host_bg.nbytes
-    elif n:
+        gumbel = hs.get_gumbel_mean(n)
+        max_f = hmx.astype(np.float32)
+        max_bias = max_f - host_bg.astype(np.float32)
+        max_bias -= np.float32(host_var * gumbel
+                               * float(mfnr.bg_fix_factor))
+        pos_bias = max_bias[max_bias > 0]
+        highlight_avg = np.float32(pos_bias.mean() if pos_bias.size
+                                   else 0.0)
+        fg_any = np.any((max_bias > highlight_avg)
+                        | (max_f > 255.0 * float(hp)),
+                        axis=-1).astype(np.uint8)
+        if connect_cfg.switch:
+            hmx = hs.connect_highlight_area(
+                hmx, max_bias, rep_times=1,
+                ksize_multiplier=connect_cfg.ksize_multiplier,
+                clip_threshold=connect_cfg.threshold,
+                gamma=connect_cfg.gamma, logger=logger)
+        last_run_stats["host_stage_s"] = round(
+            _time.perf_counter() - t_up0, 3)
+        t_up0 = _time.perf_counter()
+        # Outside the feathered fg support, the blend reduces to
+        # round(mu * 1.0) == the mu plane itself (bit-exact: mu is u8),
+        # so the device only ever needs the fg bounding box padded by
+        # the blur radius. Meteors are sparse; the window is typically
+        # a few % of the frame, cutting link bytes accordingly. fg
+        # beyond the window is impossible (the box covers all fg pixels
+        # + radius), so window-reflect blur == full-frame blur there.
+        h_, w_ = fg_any.shape
+        ys, xs = np.nonzero(fg_any)
+        if ys.size == 0:
+            last_run_stats["h2d_bytes"] = 0
+            last_run_stats["upload_s"] = 0.0
+            last_run_stats["device_math_fetch_s"] = 0.0
+            last_run_stats["window_px_frac"] = 0.0
+            return host_bg
+        r = int(blur_ksize) // 2
+        y0 = max(int(ys.min()) - r, 0)
+        y1 = min(int(ys.max()) + 1 + r, h_)
+        x0 = max(int(xs.min()) - r, 0)
+        x1 = min(int(xs.max()) + 1 + r, w_)
+        # pad window dims up to multiples of 64 (bounded compile count;
+        # one shape per export in practice), sliding the origin back so
+        # the padded window stays inside the frame
+        wh = min(-(-(y1 - y0) // 64) * 64, h_)
+        ww = min(-(-(x1 - x0) // 64) * 64, w_)
+        y0 = min(y0, h_ - wh)
+        x0 = min(x0, w_ - ww)
+        y1, x1 = y0 + wh, x0 + ww
+        frac = (wh * ww) / float(h_ * w_)
+        last_run_stats["window_px_frac"] = round(frac, 4)
+        if frac >= 0.98:   # whole frame anyway: skip the copy/paste
+            win_mx, win_bg, win_fg = hmx, host_bg, fg_any
+        else:
+            win_mx = np.ascontiguousarray(hmx[y0:y1, x0:x1])
+            win_bg = np.ascontiguousarray(host_bg[y0:y1, x0:x1])
+            win_fg = np.ascontiguousarray(fg_any[y0:y1, x0:x1])
+        taps = jnp.asarray(_gaussian_kernel_f32(blur_ksize, 3.0))
+        blend = jax.jit(functools.partial(_jit_blur_blend, hp=float(hp),
+                                          gumbel=gumbel))
+        args = (jax.device_put(win_mx), jax.device_put(win_bg),
+                jnp.float32(host_var), jax.device_put(win_fg), taps)
+        last_run_stats["h2d_bytes"] = (win_mx.nbytes + win_bg.nbytes
+                                       + win_fg.nbytes)
+        last_run_stats["upload_s"] = round(
+            _time.perf_counter() - t_up0, 3)
+        t_math0 = _time.perf_counter()
+        win_mixed = np.asarray(blend(*args))
+        last_run_stats["device_math_fetch_s"] = round(
+            _time.perf_counter() - t_math0, 3)
+        if win_mx is hmx:
+            mixed = win_mixed
+        else:
+            mixed = host_bg.copy()
+            mixed[y0:y1, x0:x1] = win_mixed
+        logger.debug(f"MFNR-stacked SNR (device, host-reduced): "
+                     f"{hs.estimate_snr_smooth_residual(mixed):.2f} db.")
+        return mixed
+    if n:
         last_run_stats["h2d_bytes"] = n * int(
             np.prod(video_loader.runtime_size)) * 3
     last_run_stats["upload_s"] = round(_time.perf_counter() - t_up0, 3)
@@ -279,12 +367,7 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
     use_ext_bg = use_ext_var = False
     bg_mu = jnp.zeros((), jnp.float32)
     bg_var = jnp.zeros((), jnp.float32)
-    if host_bg is not None:
-        # host-reduced "mean" path: mu plane rides the reduced upload
-        bg_mu = jax.device_put(host_bg)
-        bg_var = jnp.float32(host_var)
-        use_ext_bg = use_ext_var = True
-    elif mfnr.bg_algorithm in ("median", "med-of-med"):
+    if mfnr.bg_algorithm in ("median", "med-of-med"):
         stack = jnp.concatenate(dev_blocks, axis=0)
         med = jax.jit(lambda x: jnp.median(x.astype(jnp.float32), axis=0))
         # host parity (stack.mfnr_mix_stacker): exact median for

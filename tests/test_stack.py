@@ -228,10 +228,11 @@ def test_mfnr_device_host_reduced_upload_parity(rng, monkeypatch):
     reduced = mfnr_mix_device(_loader(frames), dn)
     assert stack_device.last_run_stats["placement"] == \
         "host-reduced-upload"
-    # u8 max + u8 mu = 2x one u8 color frame's bytes, frame-count-free
-    # (the full-upload path ships n_frames x frame bytes instead)
+    # u8 max + u8 mu + single-channel u8 fg mask = 2 1/3 u8 color
+    # frames, frame-count-free (the full-upload path ships
+    # n_frames x frame bytes instead)
     assert stack_device.last_run_stats["h2d_bytes"] == \
-        2 * frames[0].nbytes
+        2 * frames[0].nbytes + frames[0].nbytes // 3
     diff = np.abs(reduced.astype(np.int16) - full.astype(np.int16))
     assert diff.max() <= 1 and (diff > 0).mean() < 0.02
 
@@ -251,3 +252,54 @@ def test_mfnr_device_no_connect_lines(rng, monkeypatch):
     got = mfnr_mix_device(_loader(frames), dn)
     diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
     assert diff.max() <= 1
+
+
+def test_mfnr_device_fg_window_crop(rng, monkeypatch):
+    """Sparse foreground: the host-reduced device blend ships only the
+    fg bounding-box window (+blur radius, padded to 64) and composites
+    onto the mu plane -- outside the feathered fg support the blend is
+    bit-exactly round(mu) == mu, so the windowed output must match the
+    host path the same way the full-frame device path does (+/-1)."""
+    from metdetpy_tpu.ops import stack_device
+    from metdetpy_tpu.ops.stack_device import mfnr_mix_device
+
+    # quiet background (low noise, low amplitude) + one small bright
+    # blob: fg collapses to a tiny bbox
+    frames = rng.integers(0, 12, (16, 192, 256, 3), np.uint8)
+    frames[5:9, 40:48, 60:70] = 250
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    dn.mfnr_param.bg_algorithm = "mean"
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_DENOISE", "0")
+    want = stk.mfnr_mix_stacker(_loader(frames), dn)
+    monkeypatch.delenv("METDETPY_TPU_DEVICE_DENOISE")
+    monkeypatch.setenv("METDETPY_TPU_MFNR_HOST_REDUCE", "1")
+    got = mfnr_mix_device(_loader(frames), dn)
+    frac = stack_device.last_run_stats["window_px_frac"]
+    assert 0.0 < frac < 0.5, frac
+    # windowed upload is a fraction of the 2.33 B/px full-frame planes
+    assert stack_device.last_run_stats["h2d_bytes"] < \
+        frames[0].nbytes * 2.34 * 0.5
+    diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.02
+
+
+def test_mfnr_device_fg_window_empty_fg(rng, monkeypatch):
+    """No foreground at all: the blend degenerates to the mu plane with
+    zero device traffic."""
+    from metdetpy_tpu.ops import stack_device
+    from metdetpy_tpu.ops.stack_device import mfnr_mix_device
+
+    frames = np.full((12, 64, 96, 3), 40, np.uint8)
+    dn = ClipCfg.from_json_file(
+        relative2abs_path("./global/clip_cfg.json")).image_denoise
+    dn.algorithm = "mfnr-mix"
+    dn.mfnr_param.bg_algorithm = "mean"
+    monkeypatch.setenv("METDETPY_TPU_DEVICE_DENOISE", "0")
+    want = stk.mfnr_mix_stacker(_loader(frames), dn)
+    monkeypatch.delenv("METDETPY_TPU_DEVICE_DENOISE")
+    monkeypatch.setenv("METDETPY_TPU_MFNR_HOST_REDUCE", "1")
+    got = mfnr_mix_device(_loader(frames), dn)
+    assert stack_device.last_run_stats["h2d_bytes"] == 0
+    np.testing.assert_array_equal(got, want)
