@@ -154,8 +154,17 @@ class PyAVVideoWrapper(BaseVideoWrapper):
 
     PyAV is not installed in this image; instantiation without it
     transparently delegates to OpenCVVideoWrapper so reference configs keep
-    working. The PTS logic is host Python and fully unit-tested against a
-    mocked av container (tests/test_videowrapper_pyav.py).
+    working. VERIFICATION STATUS: the PTS logic is host Python and
+    unit-tested against a mocked av container
+    (tests/test_videowrapper_pyav.py) covering monotonic, gapped
+    (drop-repair), duplicated-PTS, and seek-landing sequences -- but it
+    has NEVER run against a real libav demuxer in this environment.
+    Container-format corners the mocks cannot represent (B-frame reorder
+    across open-GOP seeks, negative start_time offsets, streams whose
+    time_base changes mid-file) are therefore unverified; before relying
+    on this leg in production, run tests/test_videowrapper_pyav.py with
+    the real av wheel installed (the shim is import-compatible) and spot
+    check a B-frame H.264 seek. The OpenCV leg is the verified default.
     """
 
     def __new__(cls, video_name: str, hwaccel: Optional[str] = None):
