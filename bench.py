@@ -122,6 +122,61 @@ def bench_multistream():
     met_lo, met_hi = int(2.0 * fps), int(5.0 * fps)
     hits = [False] * n_streams
 
+    # decode-provisioning probe (4k mode): the timed loop below measures
+    # the POST-DECODE pipeline (per-frame 4K->960 preprocess + upload +
+    # detect) -- what the chip + link sustain once frames exist. A real
+    # deployment also pays the camera-feed decode, which this 1-core
+    # microVM cannot parallelize; measure its per-frame cost once (MJPG
+    # scaled decode at the analysis resolution, io/mjpgavi.py, vs
+    # full-decode+resize) and report the projected aggregate including
+    # decode at 1 and 4 cores (reference-class i5-7500) so the config-#5
+    # >= 80 fps bar is arithmetically bounded rather than silently
+    # host-limited.
+    decode_probe = {}
+    if four_k:
+        import cv2 as _cv2
+        from metdetpy_tpu.io.mjpgavi import MJPGAVIVideoWrapper
+        from metdetpy_tpu.synth import write_video
+        probe_path = "/tmp/bench_ms_probe.avi"
+        write_video(streams[0][: int(2 * fps)], probe_path, fps=fps)
+        wrp = MJPGAVIVideoWrapper(probe_path)
+        # the pipeline decodes the JPEG luma plane directly at 1/4 scale
+        wrp.set_decode_scale([w, h], grayscale=True)
+        t0p = time.perf_counter()
+        n_dec = 0
+        while True:
+            ok, fr = wrp.read()
+            if not ok:
+                break
+            n_dec += 1
+        t_scaled = (time.perf_counter() - t0p) / max(n_dec, 1)
+        wrp.release()
+        cap = _cv2.VideoCapture(probe_path)
+        t0p = time.perf_counter()
+        n_full = 0
+        while True:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            small = _cv2.resize(fr, (w, h),
+                                interpolation=_cv2.INTER_LINEAR)
+            _cv2.cvtColor(small, _cv2.COLOR_BGR2GRAY)
+            n_full += 1
+        t_full = (time.perf_counter() - t0p) / max(n_full, 1)
+        cap.release()
+        decode_probe = {
+            "scaled_decode_ms_per_frame": round(t_scaled * 1e3, 2),
+            "full_decode_resize_ms_per_frame": round(t_full * 1e3, 2),
+            "scaled_vs_full_speedup": round(t_full / max(t_scaled, 1e-9),
+                                            2),
+            "agg_fps_with_decode_1core": round(1.0 / max(t_scaled, 1e-9),
+                                               1),
+            "agg_fps_with_decode_4core": round(4.0 / max(t_scaled, 1e-9),
+                                               1),
+        }
+        sys.stderr.write(f"[bench:multistream] decode probe "
+                         f"{decode_probe}\n")
+
     passes = int(os.environ.get("BENCH_PASSES", 3))
     pass_fps = []
     pass_stages = []
@@ -194,6 +249,7 @@ def bench_multistream():
         "stages": pass_stages[
             pass_fps.index(sorted(pass_fps)[len(pass_fps) // 2])],
         "stages_all_passes": pass_stages,
+        **({"decode_provisioning": decode_probe} if decode_probe else {}),
     }))
 
 

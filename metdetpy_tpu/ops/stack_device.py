@@ -116,10 +116,18 @@ def _jit_stage2(mx, est_bg_mu, est_bg_var, fg_blur, *, hp, gumbel):
     return mixed.astype(jnp.uint8)
 
 
-def _jit_blur_blend(mx, bg_mu, bg_var, fg_any, taps, *, hp, gumbel):
+def _jit_blur_blend(packed, bg_var, taps, *, hp, gumbel):
     """Host-reduced placement's device program: feather blur of the
-    host-computed fg mask + the stage-2 blend, one fused dispatch."""
+    host-computed fg mask + the stage-2 blend, one fused dispatch.
+
+    ``packed`` is a single [H, W, 7] u8 buffer (ch 0-2 max, 3-5 mu,
+    6 fg mask) -- one contiguous upload instead of three: on the
+    tunneled transport each staging op pays a round trip, so op count
+    matters as much as bytes."""
     import jax.numpy as jnp
+    mx = packed[..., 0:3]
+    bg_mu = packed[..., 3:6]
+    fg_any = packed[..., 6]
     fg_blur = _blur_reflect101(fg_any.astype(jnp.float32), taps)[..., None]
     return _jit_stage2(mx, bg_mu.astype(jnp.float32), bg_var, fg_blur,
                        hp=hp, gumbel=gumbel)
@@ -328,26 +336,23 @@ def mfnr_mix_device(video_loader, denoise_cfg: DenoiseOption,
         y1, x1 = y0 + wh, x0 + ww
         frac = (wh * ww) / float(h_ * w_)
         last_run_stats["window_px_frac"] = round(frac, 4)
-        if frac >= 0.98:   # whole frame anyway: skip the copy/paste
-            win_mx, win_bg, win_fg = hmx, host_bg, fg_any
-        else:
-            win_mx = np.ascontiguousarray(hmx[y0:y1, x0:x1])
-            win_bg = np.ascontiguousarray(host_bg[y0:y1, x0:x1])
-            win_fg = np.ascontiguousarray(fg_any[y0:y1, x0:x1])
+        full_frame = frac >= 0.98   # whole frame anyway: skip the paste
+        packed = np.empty((wh, ww, 7), np.uint8)
+        packed[..., 0:3] = hmx[y0:y1, x0:x1]
+        packed[..., 3:6] = host_bg[y0:y1, x0:x1]
+        packed[..., 6] = fg_any[y0:y1, x0:x1]
         taps = jnp.asarray(_gaussian_kernel_f32(blur_ksize, 3.0))
         blend = jax.jit(functools.partial(_jit_blur_blend, hp=float(hp),
                                           gumbel=gumbel))
-        args = (jax.device_put(win_mx), jax.device_put(win_bg),
-                jnp.float32(host_var), jax.device_put(win_fg), taps)
-        last_run_stats["h2d_bytes"] = (win_mx.nbytes + win_bg.nbytes
-                                       + win_fg.nbytes)
+        args = (jax.device_put(packed), jnp.float32(host_var), taps)
+        last_run_stats["h2d_bytes"] = packed.nbytes
         last_run_stats["upload_s"] = round(
             _time.perf_counter() - t_up0, 3)
         t_math0 = _time.perf_counter()
         win_mixed = np.asarray(blend(*args))
         last_run_stats["device_math_fetch_s"] = round(
             _time.perf_counter() - t_math0, 3)
-        if win_mx is hmx:
+        if full_frame:
             mixed = win_mixed
         else:
             mixed = host_bg.copy()
