@@ -208,17 +208,28 @@ def _find_peaks(votes: jax.Array, threshold: int,
     rung of a static geometric ladder whose survivor count fits, so
     selection keeps the STRONGEST peaks. Plain ladder reductions (no
     sort/top_k), and only on frames that cleared the chunk-level
-    vote-threshold cond."""
+    vote-threshold cond.
+
+    The ladder is evaluated with Python-int scalar literals rather than a
+    broadcast [n_cuts, H, W] constant array: jax 0.9.0's vmap batching of
+    a mixed invariant-constant/variant binary op under shard_map double-
+    applies ``pvary`` to the broadcast constant ("pvary is a
+    invariant->variant collective ... already present in vma"), which
+    broke the multistream (vmap-inside-shard_map) path; scalar literals
+    are embedded in the jaxpr and never batched."""
     pooled = lax.reduce_window(votes, jnp.iinfo(jnp.int32).min, lax.max,
                                (3, 3), (1, 1), [(1, 1), (1, 1)])
     is_peak = (votes >= pooled) & (votes > threshold)
-    cuts = jnp.asarray(np.unique(np.round(
-        np.geomspace(threshold + 1, 8192, 24))).astype(np.int32))
-    tails = jnp.sum((votes[None] >= cuts[:, None, None]) & is_peak[None],
-                    axis=(1, 2))
+    cuts = np.unique(np.round(
+        np.geomspace(threshold + 1, 8192, 24))).astype(np.int32)
+    tails = jnp.stack(
+        [jnp.sum(is_peak & (votes >= int(c))) for c in cuts])
     fits = tails <= max_peaks
     ci = jnp.where(jnp.any(fits), jnp.argmax(fits), len(cuts) - 1)
-    is_peak = is_peak & (votes >= cuts[ci])
+    cut_val = jnp.zeros((), jnp.int32)
+    for k, c in enumerate(cuts):
+        cut_val = cut_val + jnp.where(ci == k, int(c), 0)
+    is_peak = is_peak & (votes >= cut_val)
     idx, ok = _compact_indices(is_peak.reshape(-1).astype(jnp.uint8),
                                max_peaks)
     n_rho = votes.shape[1]

@@ -77,12 +77,33 @@ def test_f1_parity_on_annotated_synthetic_clip(tmp_path, capsys):
     compare(video, base_dict=anno, new_dict=result)
     video.release()
     out = capsys.readouterr().out
-    # strict recall: the annotated meteor must be matched; precision is
-    # asserted loosely here because the fixture is deliberately re-encoded
-    # (codec flicker at this tiny resolution produces occasional confident
-    # false lines) -- the uncompressed in-memory path asserts exactness in
-    # test_e2e_detect.py
+    # strict recall: the annotated meteor must be matched
     assert "'recall': 1.0" in out, out
     import re
     prec = float(re.search(r"'precision': ([0-9.]+)", out).group(1))
-    assert prec >= 0.5, out
+
+    # Precision is anchored to the UNMODIFIED reference on the identical
+    # clip+config rather than an absolute bar: this deliberately
+    # re-encoded tiny fixture contains persistent collinear codec-flicker
+    # structures that the reference itself reports as confident METEOR
+    # tracks (measured 2026-08-20: reference precision 1/3 here, same two
+    # extra tracks at the same coordinates) -- an absolute >=0.5 bar
+    # would demand BETTER-than-reference noise rejection, which the old
+    # theta-order peak compaction only achieved by blacking out saturated
+    # frames (the m3det_low mid-event blackout fixed by the hough crowd
+    # guard). The uncompressed in-memory path asserts exactness in
+    # test_e2e_detect.py.
+    import test_reference_parity as refpar
+    ref_dict = refpar._run_reference(video_path, "m3det_normal", None,
+                                     None, seed=1234, resize=None)
+    # reference run uses its own resize default; pin to the raw size the
+    # rebuild ran at by re-running compare on the reference MDRF
+    video = OpenCVVideoWrapper(video_path)
+    compare(video, base_dict=anno, new_dict=from_dict(MDRF, ref_dict))
+    video.release()
+    ref_out = capsys.readouterr().out
+    ref_prec = float(
+        re.search(r"'precision': ([0-9.]+)", ref_out).group(1))
+    assert prec >= ref_prec - 1e-9, (
+        f"rebuild precision {prec} < reference precision {ref_prec}\n"
+        f"rebuild:\n{out}\nreference:\n{ref_out}")

@@ -88,7 +88,8 @@ def mask_path(tmp_path_factory):
 _ref_mod = [None]
 
 
-def _run_reference(clip, cfg_name, detector, mask, seed):
+def _run_reference(clip, cfg_name, detector, mask, seed,
+                   resize="preset"):
     """One unmodified-reference run with a pinned cv2 RNG seed."""
     added = []
     for p in (SHIM_DIR, REF_ROOT):
@@ -119,6 +120,8 @@ def _run_reference(clip, cfg_name, detector, mask, seed):
         cfg.loader.exp_time = "real-time"   # deterministic, no estimator
         cfg.loader.wrapper = "OpenCVVideoWrapper"  # PyAV absent in-image
         cfg.collector.recheck_cfg.switch = False
+        if resize != "preset":
+            cfg.loader.resize = resize
         if detector:
             cfg.detector.name = detector
         cv2.setRNGSeed(seed)
