@@ -24,17 +24,6 @@ from .utils import (LIVE_MODE_SPEED_CTRL_CONST, VERSION, frame2time, frame2ts,
                     get_clip_config_path, get_num_class)
 from .visu import OpenCVMetVisu, TextColorPair, TextVisu
 
-# Platforms whose transport buffers pre-fetch uploads client-side and
-# REPLAYS them through a degraded synchronous mode on the process's
-# first d2h fetch (measured on the axon tunnel: 265 MB at ~30 MB/s with
-# minutes-scale stalls concentrated in that one call) -- deferred
-# horizon collection defaults OFF there so the stall lottery amortizes
-# over incremental fetches. Any other transport (incl. local PCIe)
-# defaults ON: fewer host-device syncs always wins when fetches are
-# cheap. New tunneled transports opt out by joining this list.
-BUFFERED_REPLAY_PLATFORMS = ("axon",)
-
-
 def detect_video(video_name: str, mask_name: Optional[str],
                  cfg: MainDetectCfg, debug_mode: bool = False,
                  visual_mode: bool = False, work_mode: str = "frontend",
@@ -512,35 +501,24 @@ def _run_block_loop(video_loader, detector, collector, rt_param, start_frame,
                 time.sleep(expect - elapsed)
         return True
 
-    # Deferred collection (default for offline block runs on real
-    # hardware): dispatch every block of a horizon WITHOUT any
-    # device->host read, then collect the whole horizon with one stacked
-    # fetch per fixed group (detector.collect_many) -- host-device syncs
-    # leave the hot loop entirely. NOT default on the axon tunnel: there
-    # the transport buffers pre-fetch uploads client-side and the first
-    # fetch replays ALL buffered bytes through the degraded synchronous
-    # mode (measured: an 8-block horizon's end fetch = 265 MB at ~30
-    # MB/s, with occasional minutes-scale stalls), so one deferred fetch
-    # concentrates the tunnel's stall lottery instead of amortizing it.
-    # Live mode needs pacing, visual mode needs per-block host frames --
-    # both keep the incremental path. Override either way with
-    # METDETPY_TPU_DEFERRED_COLLECT=1/0.
-    def _default_deferred() -> str:
-        try:
-            import jax
-            platform = jax.devices()[0].platform
-        except Exception:
-            return "1"
-        return "0" if platform in BUFFERED_REPLAY_PLATFORMS else "1"
+    # Deferred collection (default for offline block runs): dispatch
+    # every block of a horizon WITHOUT any device->host read, then
+    # collect the whole horizon with one stacked fetch per fixed group
+    # (detector.collect_many) -- host-device syncs leave the hot loop
+    # entirely. An earlier platform gate tried to default this OFF on
+    # the axon tunnel (buffered-upload replay concern), but axon reports
+    # platform == "tpu", so every recorded run in fact ran deferred-ON
+    # -- and performed well (r4/r5 bench ledger); the unreachable gate
+    # is gone and ON is the default everywhere. Live mode needs pacing,
+    # visual mode needs per-block host frames -- both keep the
+    # incremental path. Override with METDETPY_TPU_DEFERRED_COLLECT=0.
     deferred_env = _os.environ.get("METDETPY_TPU_DEFERRED_COLLECT")
-    deferred_choice = (deferred_env if deferred_env is not None
-                       else _default_deferred())
     deferred = (use_async and not live_mode and not visual_mode
                 and hasattr(detector, "collect_many")
-                and deferred_choice != "0")
+                and deferred_env != "0")
     logger.debug(
         f"Deferred collection: {'on' if deferred else 'off'} "
-        f"({'env override' if deferred_env is not None else 'platform default'})")
+        f"({'env override' if deferred_env is not None else 'default'})")
     # horizon bound: handles are tiny, but the dispatched-but-unexecuted
     # backlog pins uploaded blocks on device, so cap blocks per horizon;
     # detectors whose handles pin big device arrays (MLDetector's color

@@ -41,6 +41,116 @@ def _window_max_color(hist, frames, n):
 _ROI_WIN = 256          # static ROI window side (boxes larger fall back)
 _ROI_BUCKETS = (4, 16, 64)   # padded batch sizes (bounds compile count)
 
+# device-orientation limits: rows beyond _ORIENT_CAP or ROIs larger than
+# _ORIENT_WIN fall back to the host ROI-fetch path (the weight-percentile
+# needs a [cap, win*win] sort, so both are kept small; meteors at 320-px
+# analysis are tens of px and a 64-frame block rarely keeps >64 boxes)
+_ORIENT_CAP = 64
+_ORIENT_WIN = 96
+
+
+def _reflect101(n, length):
+    """OpenCV BORDER_REFLECT_101 index fold (vectorized, clamped so any
+    off-range probe stays in-bounds; off-range only happens for masked
+    outputs)."""
+    n = jnp.abs(n)
+    n = jnp.where(n >= length, 2 * length - 2 - n, n)
+    return jnp.clip(n, 0, length - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("p",))
+def _orient_from_packed(stacks, packed, sw, sh, p: int):
+    """Device Sobel circular-mean orientation for the compacted kept rows.
+
+    Mirrors track.features.calc_roi_gradient (reference
+    MetLib/feature.py:17-34) per row of the model's packed readback
+    (owner, x1, y1, x2, y2, obj, cls...) at model scale:
+      * box -> frame scale (*sw/*sh), trunc-to-int, python-slice clamp
+        semantics (exactly what the host _orient_results does),
+      * gray conversion with cv2's fixed-point weights,
+      * 3x3 Sobel with BORDER_REFLECT_101 folded at the ROI's own edges,
+      * weight = hypot(gx, gy), thresholded at the ROI's 95th percentile
+        (np.percentile linear interpolation, computed via a full sort),
+      * weighted circular sums.
+
+    Returns [cap, 4] f32: (sum w*sin(2a)... no -- (sc, cc, wtot, ok)
+    where sc/cc are the weighted circular sums of angle = atan2(-gy, gx)
+    mod pi, wtot the weight total, and ok=0 flags rows this kernel could
+    not handle (ROI larger than ``p``) -- the host falls back to the
+    fetched-ROI path for those. Host-side drct = atan2(sc, cc) % 2pi.
+
+    Numerics: gx/gy and their squares are integer-exact in f32; the
+    percentile cut and the circular sums run in f32 (the host reference
+    is f64), so angles can differ by ~1e-5 rad -- the consumer only uses
+    the quadrant of the angle, so this path is behavior-equivalent
+    though not bit-equal (tests pin a tolerance + quadrant agreement).
+    """
+    t_n, h, w, _ = stacks.shape
+    cap = packed.shape[0]
+
+    def one(row):
+        t = jnp.clip(row[0].astype(jnp.int32), 0, t_n - 1)
+        bx = row[1:5] * jnp.stack([sw, sh, sw, sh])
+        bi = bx.astype(jnp.int32)     # trunc cast, same as np .astype(int)
+        x1, y1, x2, y2 = bi[0], bi[1], bi[2], bi[3]
+        # python slice(start, stop).indices(length) semantics
+        def clampidx(v, length):
+            return jnp.where(v < 0, jnp.maximum(length + v, 0),
+                             jnp.minimum(v, length))
+        y1c, y2c = clampidx(y1, h), clampidx(y2, h)
+        x1c, x2c = clampidx(x1, w), clampidx(x2, w)
+        bh = jnp.maximum(y2c - y1c, 0)
+        bw = jnp.maximum(x2c - x1c, 0)
+        ok = (bh <= p) & (bw <= p)
+        empty = (bh == 0) | (bw == 0)
+        # gather a [p, p] window that contains the valid ROI
+        y0 = jnp.clip(jnp.minimum(y1c, h - p), 0, h - p)
+        x0 = jnp.clip(jnp.minimum(x1c, w - p), 0, w - p)
+        win = jax.lax.dynamic_slice(stacks, (t, y0, x0, jnp.int32(0)),
+                                    (1, p, p, 3))[0].astype(jnp.int32)
+        gray = (win[..., 0] * 3735 + win[..., 1] * 19235
+                + win[..., 2] * 9798 + 16384) >> 15
+        vy, vx = y1c - y0, x1c - x0
+        # reflect-101 padded ROI in det-local coords: [p+2, p+2]
+        ar = jnp.arange(-1, p + 1)
+        safe_bh = jnp.maximum(bh, 1)
+        safe_bw = jnp.maximum(bw, 1)
+        rm = vy + _reflect101(ar, safe_bh)
+        cm = vx + _reflect101(ar, safe_bw)
+        padded = gray[rm[:, None], cm[None, :]]
+        gx = ((padded[:-2, 2:] - padded[:-2, :-2])
+              + 2 * (padded[1:-1, 2:] - padded[1:-1, :-2])
+              + (padded[2:, 2:] - padded[2:, :-2]))
+        gy = ((padded[2:, :-2] - padded[:-2, :-2])
+              + 2 * (padded[2:, 1:-1] - padded[:-2, 1:-1])
+              + (padded[2:, 2:] - padded[:-2, 2:]))
+        gxf = gx.astype(jnp.float32)
+        gyf = gy.astype(jnp.float32)
+        angle = jnp.arctan2(-gyf, gxf) % jnp.float32(np.pi)
+        weight = jnp.sqrt(gxf * gxf + gyf * gyf)
+        ri = jnp.arange(p)
+        valid = (ri[:, None] < bh) & (ri[None, :] < bw)
+        # np.percentile(weight, 95) with linear interpolation over the
+        # bh*bw valid values: ascending sort with invalids at +inf
+        flat = jnp.where(valid.reshape(-1), weight.reshape(-1), jnp.inf)
+        s = jnp.sort(flat)
+        n_valid = jnp.maximum(bh * bw, 1)
+        a = 0.95 * (n_valid - 1).astype(jnp.float32)
+        lo = jnp.floor(a).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_valid - 1)
+        cut = s[lo] + (a - lo.astype(jnp.float32)) * (s[hi] - s[lo])
+        wt = jnp.where(valid & (weight > cut), weight, 0.0)
+        sc = jnp.sum(wt * jnp.sin(angle))
+        cc = jnp.sum(wt * jnp.cos(angle))
+        wtot = jnp.sum(wt)
+        z = jnp.float32(0)
+        return jnp.stack([jnp.where(empty, z, sc),
+                          jnp.where(empty, z, cc),
+                          jnp.where(empty, z, wtot),
+                          (ok | empty).astype(jnp.float32)])
+
+    return jax.vmap(one)(packed[:cap])
+
 
 @functools.partial(jax.jit, static_argnames=("p",))
 def _gather_gray_rois(stacks, ts, ys, xs, p):
@@ -110,12 +220,29 @@ class MLDetector(BaseDetector):
             raise NotImplementedError
         stacks_dev, self._hist = _window_max_color(self._hist,
                                                    jnp.asarray(block), self.n)
-        return stacks_dev, self.model.dispatch_batch_device(stacks_dev)
+        mh = self.model.dispatch_batch_device(stacks_dev)
+        orient_dev = None
+        if mh[0] == "compact":
+            # chain the ROI orientation on the packed kept rows so the
+            # angles ride the same deferred readback (zero extra
+            # host<->device round trips for in-cap, in-window boxes)
+            (_, packed, _, _, _), = mh[6]
+            h, w = int(stacks_dev.shape[1]), int(stacks_dev.shape[2])
+            p = int(min(_ORIENT_WIN, h, w))
+            orient_dev = _orient_from_packed(
+                stacks_dev, packed[:_ORIENT_CAP],
+                jnp.float32(w / self.model.w),
+                jnp.float32(h / self.model.h), p)
+        return stacks_dev, mh, orient_dev
 
     def collect(self, handle: tuple) -> list[FrameResult]:
-        stacks_dev, model_handle = handle
+        stacks_dev, model_handle, orient_dev = handle
+        batch_out = self.model.collect_batch_device(model_handle)
         return self._orient_results(
-            stacks_dev, self.model.collect_batch_device(model_handle))
+            stacks_dev, batch_out,
+            orient=(None if orient_dev is None
+                    else np.asarray(orient_dev)),
+            rowidx=getattr(self.model, "_last_compact_rowidx", None))
 
     # the deferred-collection horizon keeps every handle's window-max
     # stacks alive on device ([T, H, W, 3] each, ~100 MB per 64-frame
@@ -154,8 +281,10 @@ class MLDetector(BaseDetector):
         # for multiscale, (sel, n_above, order, keep) when the NMS ran
         # fused in the dispatch chain (models/yolo.py _sel_nms_device)
         n_slots = len(handles[0][1][6][0]) - 1
-        # fetched[i] = per-handle list of per-level numpy tuples
+        # fetched[i] = per-handle list of per-level numpy tuples;
+        # fetched_orient[i] = per-handle [cap, 4] orientation triples
         fetched: list[list] = [[] for _ in handles]
+        fetched_orient: list = [None] * len(handles)
         for a in range(0, len(handles), group):
             grp = handles[a:a + group]
             k = len(grp)
@@ -174,13 +303,24 @@ class MLDetector(BaseDetector):
                 stats["fetch_bytes"] += sum(x.nbytes for x in nps)
                 for i in range(k):
                     fetched[a + i].append(tuple(x[i] for x in nps))
+            if grp[0][2] is not None:
+                ostack = jnp.stack([h[2] for h in grp])
+                if no_fetch:
+                    jax.block_until_ready(ostack)
+                    continue
+                tf = time.perf_counter()
+                onp = np.asarray(ostack)
+                stats["fetch_s"] += time.perf_counter() - tf
+                stats["fetch_bytes"] += onp.nbytes
+                for i in range(k):
+                    fetched_orient[a + i] = onp[i]
         if no_fetch:
             b = handles[0][1][1]
             empty = [(np.zeros((0, 4), int),
                       np.zeros((0, self.num_cls)))] * b
             return [list(empty) for _ in handles]
         out = []
-        for i, (stacks_dev, mh) in enumerate(handles):
+        for i, (stacks_dev, mh, _orient_dev) in enumerate(handles):
             single_scale, b, h, w, tflag, k_budget, outs = mh
             outs_np = [(outs[lv][0], *fetched[i][lv])
                        for lv in range(n_levels)]
@@ -188,7 +328,9 @@ class MLDetector(BaseDetector):
             batch_out = self.model.collect_batch_device(
                 (single_scale, b, h, w, tflag, k_budget, outs_np))
             to = time.perf_counter()
-            out.append(self._orient_results(stacks_dev, batch_out))
+            out.append(self._orient_results(
+                stacks_dev, batch_out, orient=fetched_orient[i],
+                rowidx=getattr(self.model, "_last_compact_rowidx", None)))
             te = time.perf_counter()
             stats["post_s"] += to - tp
             stats["orient_s"] += te - to
@@ -271,26 +413,44 @@ class MLDetector(BaseDetector):
             done += take
         return out
 
-    def _orient_results(self, stacks_dev,
-                        batch_out: list) -> list[FrameResult]:
+    def _orient_results(self, stacks_dev, batch_out: list, orient=None,
+                        rowidx=None) -> list[FrameResult]:
         results: list[FrameResult] = []
         dets: list = []       # (t, y1, y2, x1, x2)
         owners: list = []     # (frame t, row i)
+        drcts: list = []      # device-computed angle or None (host leg)
+        use_dev = orient is not None and rowidx is not None
         for t, (pos, cls) in enumerate(batch_out):
             for i, coords in enumerate(pos):
+                if use_dev:
+                    r = int(rowidx[t][i])
+                    if r < len(orient) and orient[r][3] > 0:
+                        sc, cc, wtot, _ = orient[r]
+                        drcts.append(
+                            float(np.arctan2(sc, cc) % (2 * np.pi))
+                            if wtot > 0 else float("nan"))
+                        continue
                 box = Box.from_list(list(coords))
                 dets.append((t, box.y1, box.y2, box.x1, box.x2))
                 owners.append((t, i))
+                drcts.append(None)
         rois = self._fetch_gray_rois(stacks_dev, dets) if dets else []
+        roi_iter = iter(rois)
         # orient each box diagonal along the dominant gradient direction
-        # (reference MetLib/Detector.py:549-554)
-        for (t, i), roi in zip(owners, rois):
-            if roi.size == 0:
-                continue
-            drct = calc_roi_gradient(roi)
-            pos = batch_out[t][0]
-            if not np.isnan(drct) and int(drct // (np.pi / 2)) % 2 == 1:
-                pos[i, [1, 3]] = pos[i, [3, 1]]
+        # (reference MetLib/Detector.py:549-554); device-computed angles
+        # (the compact path) resolved above, host-fetched ROIs here
+        di = 0
+        for t, (pos, cls) in enumerate(batch_out):
+            for i in range(len(pos)):
+                drct = drcts[di]
+                di += 1
+                if drct is None:
+                    roi = next(roi_iter)
+                    if roi.size == 0:
+                        continue
+                    drct = calc_roi_gradient(roi)
+                if not np.isnan(drct) and int(drct // (np.pi / 2)) % 2 == 1:
+                    pos[i, [1, 3]] = pos[i, [3, 1]]
         for t, (pos, cls) in enumerate(batch_out):
             if len(pos) == 0:
                 results.append((np.zeros((0, 4), int),
