@@ -1166,11 +1166,12 @@ def main():
     # The warmup pass compiles every pipeline shape (block step, device
     # preprocess, the grouped collect stack) WITHOUT fetching, via the
     # detectors' METDETPY_TPU_NO_FETCH compile-only mode.
-    # Deferred collection must be ON for the warmup regardless of the
-    # platform default (axon defaults it off): the incremental collect
-    # path fetches per block via np.asarray, which would trip the
-    # transport into its degraded post-fetch mode BEFORE the timed
-    # passes (ADVICE r4). collect_many honors NO_FETCH.
+    # Deferred collection is pinned ON for the warmup regardless of any
+    # env override: the incremental collect path fetches per block via
+    # np.asarray, which would trip the transport into its degraded
+    # post-fetch mode BEFORE the timed passes (ADVICE r4). collect_many
+    # honors NO_FETCH. (Deferred is also the default everywhere since
+    # r5 -- the axon-off platform gate was dead code.)
     os.environ["METDETPY_TPU_NO_FETCH"] = "1"
     prev_deferred = os.environ.get("METDETPY_TPU_DEFERRED_COLLECT")
     os.environ["METDETPY_TPU_DEFERRED_COLLECT"] = "1"
