@@ -1106,11 +1106,30 @@ def main():
     import functools
     from metdetpy_tpu.log import get_default_logger
     get_default_logger().print = functools.partial(print, file=sys.stderr)
+    trace_every = os.environ.get("BENCH_TRACE_EVERY")
+    if trace_every:
+        # stall diagnosis: dump every thread's stack to stderr on a timer
+        # (the tunnel can block a fetch for minutes with no CPU activity)
+        import faulthandler
+        faulthandler.dump_traceback_later(float(trace_every), repeat=True,
+                                          file=sys.stderr)
     mode = os.environ.get("BENCH_MODE")
     if mode not in ("multistream_sharded", "dldet_sharded"):
         # the sharded modes pin a virtual CPU mesh BEFORE backend init and
         # must not have the watchdog initialize the axon backend first
         _backend_watchdog()
+    if mode == "probe":
+        # minimal transport check through the same preamble as every
+        # other mode (watchdog thread-init + logger redirect): stall
+        # triage for the tunnel's first-d2h pathology
+        from metdetpy_tpu.ops.stack import _probe_link_bps
+        t0 = time.time()
+        h2d, d2h = _probe_link_bps()
+        print(json.dumps({"metric": "link_probe", "h2d_mbps":
+                          round(h2d / 1e6, 2), "d2h_mbps":
+                          round(d2h / 1e6, 2), "probe_wall_s":
+                          round(time.time() - t0, 2)}))
+        return
     if mode == "multistream":
         bench_multistream()
         return
